@@ -3,36 +3,158 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine mapping (SURVEY.md §2): relational stages of the inverted-index
+build (tokens_tf / term_df / doc_stats / corpus_stats, §2.4 A7) and
+the BM25Plus scorer (§2.9) are cross-checked against ANSI-SQL DuckDB
+oracles.  SQL-checked variants use the unstemmed analyzer (plain
+``\\w+`` lowercase) because DuckDB cannot run the NLTK-extensions
+Porter stemmer; stemming parity is covered by pytest against the
+in-repo numpy oracle (tests/).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from lean_explore_spark.functions.tokenizer import tokenize, tokenize_stem  # noqa: E402
+from lean_explore_spark.operators import analyze as A  # noqa: E402
+from lean_explore_spark.pyfiles import ensure_py_files  # noqa: E402
+from lean_explore_spark.query import df_scorer  # noqa: E402
+
+FLAGSHIP_QUERY = "fast table scan merge join"
+TOPK = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_py_files(spark)  # executors need the package on sys.path
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25Plus top-k (stemmed analyzer) on sf0.001."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    analyzed = A.analyze(docs, stem=True)
+    tdf = A.term_doc_tf(analyzed)
+    stats = A.doc_stats(analyzed)
+    return df_scorer.score_query(
+        spark, tdf, stats, tokenize_stem(FLAGSHIP_QUERY), k=TOPK
+    )
+
+
+# --------------------------------------------------------------------
+# SQL-checked queries (unstemmed analyzer — DuckDB-expressible)
+# --------------------------------------------------------------------
+
+
+def _analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.analyze(_docs(spark, sf_dir), stem=False)
+
+
+def q_tokens_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.term_doc_tf(_analyzed(spark, sf_dir))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.doc_stats(_analyzed(spark, sf_dir))
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.dictionary(A.term_doc_tf(_analyzed(spark, sf_dir)))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.corpus_stats(A.doc_stats(_analyzed(spark, sf_dir)))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    analyzed = _analyzed(spark, sf_dir)
+    return df_scorer.score_query(
+        spark,
+        A.term_doc_tf(analyzed),
+        A.doc_stats(analyzed),
+        tokenize(FLAGSHIP_QUERY),
+        k=TOPK,
+        round_to=6,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokens_tf": q_tokens_tf,
+        "doc_stats": q_doc_stats,
+        "term_df": q_term_df,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------
+
+_TOK = r"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+docs AS (
+  SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len
+  FROM documents d LEFT JOIN dl USING (doc_id)
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
+"""
+
+_BM25_SQL = f"""
+WITH {_TOK},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM docs),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT unnest(regexp_extract_all(lower('{FLAGSHIP_QUERY}'), '\\w+')) AS term
+),
+qt AS (SELECT term, CAST(count(*) AS DOUBLE) AS qtf FROM q GROUP BY term),
+qidf AS (
+  SELECT qt.term, qt.qtf, ln(stats.n_docs + 1.0) - ln(dfreq.df) AS idf
+  FROM qt JOIN dfreq USING (term) CROSS JOIN stats
+),
+const AS (SELECT coalesce(sum(qtf * idf * 1.0), 0.0) AS c FROM qidf),
+matched AS (
+  SELECT tf.doc_id,
+         sum(qidf.qtf * qidf.idf * (tf.tf * 2.5)
+             / (1.5 * (0.25 + 0.75 * docs.doc_len / stats.avgdl) + tf.tf)) AS s
+  FROM tf
+  JOIN qidf USING (term)
+  JOIN docs USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, round(coalesce(m.s, 0.0) + const.c, 6) AS score
+FROM docs d LEFT JOIN matched m USING (doc_id) CROSS JOIN const
+ORDER BY round(coalesce(m.s, 0.0) + const.c, 6) DESC, d.doc_id ASC
+LIMIT {TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokens_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM tf",
+        "doc_stats": f"WITH {_TOK} SELECT doc_id, doc_len FROM docs",
+        "term_df": (
+            f"WITH {_TOK} SELECT term, count(*) AS df FROM tf GROUP BY term"
+        ),
+        "corpus_stats": (
+            f"WITH {_TOK} SELECT count(*) AS n_docs, avg(doc_len) AS avgdl"
+            " FROM docs"
+        ),
+        "bm25_topk": _BM25_SQL,
+    }

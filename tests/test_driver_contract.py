@@ -1,0 +1,64 @@
+"""Simulates the driver's correctness gate: every queries() entry with
+an oracle_sql() twin must match DuckDB on row count, column names, and
+order-insensitive values at sf0.01 (driver contract in
+__spark_entry__.py; gate semantics per the repo brief)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_ORACLE
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s = _normalize(spark_pdf)
+    d = _normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            for i, (a, b) in enumerate(zip(sv, dv)):
+                assert (math.isnan(a) and math.isnan(b)) or a == b, (
+                    f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                )
+        else:
+            mism = (sv != dv)
+            assert not mism.any(), (
+                f"{name}.{col}: first mismatch at "
+                f"{mism.idxmax()}: {sv[mism.idxmax()]!r} != {dv[mism.idxmax()]!r}"
+            )
+
+
+@pytest.mark.parametrize("name", sorted(E.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    oracles = E.oracle_sql()
+    if name not in oracles:
+        pytest.skip(f"{name}: no SQL oracle (rows-only check)")
+    spark_df = E.queries()[name](spark, SF_ORACLE)
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck.execute(oracles[name]).fetchdf()
+    _compare(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["doc_id", "score"]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
