@@ -1,0 +1,371 @@
+"""Inverted-index builder: documents → compressed posting-list partitions.
+
+Spark-first pipeline (SURVEY.md §3.3 rebuild of the reference's
+populate_db phases, scripts/populate_db.py:366-494):
+
+  docs ──analyze (one Arrow UDF pass: tokenize+stem+tf map)──►
+  staging "forward index" parquet, partitioned by doc-shard ──►
+    (a) doc_stats + corpus stats (narrow agg)
+    (b) per-shard packing jobs: explode tf maps →
+        groupBy(term) within shard → applyInPandas pack
+        (delta-gap varint blocks + block-max metadata) →
+        postings/shard=S/bucket=B parquet  + manifest row
+    (c) dictionary: groupBy(term).sum(shard df) over packed metadata
+
+Scale rationale (the 100 TB story):
+
+* Hot-term skew: a global groupBy(term) puts ~N postings for "the"
+  on one reducer.  Sharding by doc-range (shard = doc_id // span)
+  bounds every (term, shard) group to ``span`` postings — this is the
+  north_rule's "salted repartition by term", with the salt chosen as
+  the doc-range so shards of one term stay doc-ordered and concatenate
+  at query time with no merge stage at all.
+* One tokenization pass: the staging forward index is written once;
+  doc stats and every packing wave read from it (columnar, pruned to
+  their shard partition — no re-tokenization, no full-input rescans).
+* Checkpointed resume (north_rule): each shard commits independently —
+  postings partition dir written with dynamic partition overwrite,
+  then a manifest row (counts, payload bytes, order-independent
+  content fingerprint).  A killed build resumes by skipping manifest-
+  committed shards; rewriting a shard is idempotent.
+* The final top-k query engine reads these partitions with shard +
+  term-bucket pruning (query/search.py).
+
+Reference parity anchors: doc identity is deterministic
+(merge_db.py:104-126 keys by content hash, not autoincrement); our
+doc_ids come from the input table and the index is byte-identical
+across parallelism levels (tested at local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import shutil
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterable, List
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lean_explore_spark.index import codec
+from lean_explore_spark.operators import analyze as A
+from lean_explore_spark.pyfiles import ensure_py_files
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("df_shard", LongType()),
+        StructField("block_first", ArrayType(LongType())),
+        StructField("block_last", ArrayType(LongType())),
+        StructField("block_count", ArrayType(IntegerType())),
+        StructField("block_gap_bytes", ArrayType(IntegerType())),
+        StructField("block_tf_bytes", ArrayType(IntegerType())),
+        StructField("block_max_score", ArrayType(DoubleType())),
+        StructField("block_max_tf", ArrayType(IntegerType())),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """Deterministic term→bucket, identical on driver and executors
+    (not JVM hash — must be reproducible from Python at query time)."""
+    h = hashlib.md5(term.encode("utf-8")).digest()
+    return int.from_bytes(h[:4], "little") % num_buckets
+
+
+@dataclass
+class IndexPaths:
+    root: Path
+
+    @property
+    def staging(self) -> Path:
+        return self.root / "forward"
+
+    @property
+    def postings(self) -> Path:
+        return self.root / "postings"
+
+    @property
+    def doc_stats(self) -> Path:
+        return self.root / "doc_stats"
+
+    @property
+    def dictionary(self) -> Path:
+        return self.root / "dictionary"
+
+    @property
+    def manifest(self) -> Path:
+        return self.root / "manifest"
+
+    @property
+    def stats_json(self) -> Path:
+        return self.root / "stats.json"
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        *,
+        stem: bool = True,
+        num_shards: int = 8,
+        num_buckets: int = 8,
+        block_size: int = codec.BLOCK_SIZE,
+    ) -> None:
+        self.spark = spark
+        self.paths = IndexPaths(Path(out_dir))
+        self.stem = stem
+        self.num_shards = num_shards
+        self.num_buckets = num_buckets
+        self.block_size = block_size
+        ensure_py_files(spark)
+
+    # -- stage A: forward index ---------------------------------------
+
+    def write_staging(self, docs: DataFrame) -> dict:
+        """Tokenize once; write the forward index partitioned by shard."""
+        marker = self.paths.staging / "_STAGING_DONE.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+
+        # bounds come from the raw input (no tokenization) so the
+        # expensive analyze pass runs exactly once, at write time
+        bounds = docs.agg(
+            F.count("*").alias("n"), F.max("doc_id").alias("max_id")
+        ).collect()[0]
+        n_docs, max_id = int(bounds["n"]), int(bounds["max_id"])
+        span = max(1, math.ceil((max_id + 1) / self.num_shards))
+        (
+            A.analyze(docs, stem=self.stem)
+            .withColumn(
+                "shard", F.floor(F.col("doc_id") / F.lit(span)).cast("int")
+            )
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(str(self.paths.staging))
+        )
+        info = {"n_docs": n_docs, "max_doc_id": max_id, "span": span}
+        marker.write_text(json.dumps(info))
+        return info
+
+    # -- stage B: doc stats -------------------------------------------
+
+    def write_doc_stats(self, staging_info: dict) -> dict:
+        if self.paths.stats_json.exists():
+            return json.loads(self.paths.stats_json.read_text())
+        staged = self.spark.read.parquet(str(self.paths.staging))
+        stats = staged.select(
+            "shard", "doc_id", F.col("doc_len").cast("long").alias("doc_len")
+        )
+        # partitioned by shard: WAND tasks load only their shard's
+        # doc-length slice (span-bounded), never the global array
+        (
+            stats.repartition("shard")
+            .sortWithinPartitions("doc_id")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(str(self.paths.doc_stats))
+        )
+        row = self.spark.read.parquet(str(self.paths.doc_stats)).agg(
+            F.count("*").alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+        ).collect()[0]
+        info = {
+            "n_docs": int(row["n"]),
+            "avgdl": float(row["avgdl"]),
+            "total_tokens": int(row["total_tokens"]),
+            "span": staging_info["span"],
+            "max_doc_id": staging_info["max_doc_id"],
+            "num_shards": self.num_shards,
+            "num_buckets": self.num_buckets,
+            "block_size": self.block_size,
+            "stem": self.stem,
+        }
+        self.paths.stats_json.write_text(json.dumps(info))
+        return info
+
+    # -- stage C: per-shard packing with manifest checkpoints ----------
+
+    def _completed_shards(self) -> set[int]:
+        if not self.paths.manifest.exists():
+            return set()
+        try:
+            rows = self.spark.read.parquet(str(self.paths.manifest)).collect()
+        except Exception:
+            return set()
+        return {int(r["shard"]) for r in rows if r["status"] == "committed"}
+
+    def pack_shard(self, shard: int, avgdl: float) -> dict:
+        """Pack one doc-shard: bounded memory per (term) group, one job."""
+        spark = self.spark
+        num_buckets = self.num_buckets
+        block_size = self.block_size
+
+        staged = spark.read.parquet(str(self.paths.staging)).where(
+            F.col("shard") == shard
+        )
+        exploded = staged.select(
+            F.col("doc_id"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            F.explode("tf_map").alias("term", "tf"),
+        )
+
+        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            term = pdf["term"].iloc[0]
+            order = np.argsort(pdf["doc_id"].values, kind="mergesort")
+            ids = pdf["doc_id"].values[order].astype(np.int64)
+            tfs = pdf["tf"].values[order].astype(np.int64)
+            dls = pdf["doc_len"].values[order].astype(np.int64)
+            packed = codec.pack_postings(
+                ids, tfs, dls, avgdl=avgdl, block_size=block_size
+            )
+            return pd.DataFrame(
+                {
+                    "term": [term],
+                    "bucket": [term_bucket(term, num_buckets)],
+                    "df_shard": [packed.count],
+                    "block_first": [packed.block_first.tolist()],
+                    "block_last": [packed.block_last.tolist()],
+                    "block_count": [packed.block_count.tolist()],
+                    "block_gap_bytes": [packed.block_gap_bytes.tolist()],
+                    "block_tf_bytes": [packed.block_tf_bytes.tolist()],
+                    "block_max_score": [packed.block_max_score.tolist()],
+                    "block_max_tf": [packed.block_max_tf.tolist()],
+                    "payload": [packed.payload],
+                }
+            )
+
+        packed = exploded.groupBy("term").applyInPandas(
+            pack_group, schema=POSTINGS_SCHEMA
+        )
+        shard_dir = self.paths.postings / f"shard={shard}"
+        (
+            packed.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(str(shard_dir))
+        )
+
+        # lineage metrics from what was actually written (explicit
+        # schema: an empty shard writes no files)
+        written = spark.read.schema(POSTINGS_SCHEMA).parquet(str(shard_dir))
+        m = written.agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df_shard").alias("n_postings"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+            # order-independent content fingerprint; bit_xor cannot
+            # overflow (Spark 4 ANSI mode makes sum() overflow throw)
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(payload), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("fingerprint"),
+        ).collect()[0]
+        return {
+            "shard": shard,
+            "n_terms": int(m["n_terms"]),
+            "n_postings": int(m["n_postings"] or 0),
+            "payload_bytes": int(m["payload_bytes"] or 0),
+            "fingerprint": int(m["fingerprint"] or 0),
+            "status": "committed",
+            "committed_at": time.time(),
+        }
+
+    def _append_manifest(self, rows: List[dict]) -> None:
+        pdf = pd.DataFrame(rows)
+        self.spark.createDataFrame(pdf).write.mode("append").parquet(
+            str(self.paths.manifest)
+        )
+
+    # -- stage D: dictionary -------------------------------------------
+
+    def write_dictionary(self) -> None:
+        postings = self.spark.read.parquet(str(self.paths.postings))
+        # column pruning: payload never read — only term + df_shard
+        dictionary = (
+            postings.groupBy("term")
+            .agg(F.sum("df_shard").alias("df"))
+            .withColumn("bucket", _bucket_udf(self.num_buckets)(F.col("term")))
+        )
+        (
+            dictionary.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(str(self.paths.dictionary))
+        )
+
+    # -- orchestration ---------------------------------------------------
+
+    def build(self, docs: DataFrame, resume: bool = True) -> dict:
+        if not resume and self.paths.root.exists():
+            shutil.rmtree(self.paths.root)
+        self.paths.root.mkdir(parents=True, exist_ok=True)
+
+        staging_info = self.write_staging(docs)
+        stats = self.write_doc_stats(staging_info)
+
+        done = self._completed_shards() if resume else set()
+        shards = [
+            s
+            for s in range(self.num_shards)
+            if s * stats["span"] <= stats["max_doc_id"]
+        ]
+        for shard in shards:
+            if shard in done:
+                continue
+            row = self.pack_shard(shard, avgdl=stats["avgdl"])
+            self._append_manifest([row])
+        self.write_dictionary()
+        return stats
+
+
+def _bucket_udf(num_buckets: int):
+    import pyspark.sql.functions as F
+
+    @F.pandas_udf(IntegerType())
+    def _b(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: term_bucket(t, num_buckets)).astype("int32")
+
+    return _b
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    stem: bool = True,
+    num_shards: int = 8,
+    num_buckets: int = 8,
+    block_size: int = codec.BLOCK_SIZE,
+    resume: bool = True,
+) -> dict:
+    return IndexBuilder(
+        spark,
+        out_dir,
+        stem=stem,
+        num_shards=num_shards,
+        num_buckets=num_buckets,
+        block_size=block_size,
+    ).build(docs, resume=resume)

@@ -1,0 +1,209 @@
+"""Query serving: top-k BM25Plus over the packed index.
+
+Rebuild of the reference hot path (SURVEY.md §3.1,
+src/lean_explore/local/search.py:630-777) minus the FAISS candidate
+stage: the corpus IS the candidate set (§2.9 semantic pin).
+
+Read path per query:
+
+  tokenize+stem on the driver (pure fn) →
+  dictionary lookup with bucket partition pruning + term pushdown →
+  postings read pruned to (bucket ∈ query buckets) ∧ (term ∈ query) →
+  block-max WAND per shard (ascending doc ranges, shared heap) →
+  + delta-floor fill for sub-k result sets.
+
+Scale notes (100 TB story):
+
+* dictionary and postings reads are Catalyst-pruned: ``bucket`` is a
+  partition directory (pruning skips all other buckets' files) and
+  the ``term IN (...)`` predicate pushes into parquet row-group
+  stats; rows are sorted by term within each bucket at build time so
+  row-group min/max actually cut.
+* shards are independent doc ranges → the distributed variant scores
+  shards as parallel tasks (``search_distributed``), each loading
+  only its span-bounded doc-length slice, and merges k-heaps.
+* ``preload=True`` pins the dictionary + postings in driver memory —
+  the analog of the reference preloading its assets before benching
+  (benchmarking/benchmark_search_rate.py:260-300); cold mode reads
+  through Spark each query.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from lean_explore_spark.functions.tokenizer import tokenize, tokenize_stem
+from lean_explore_spark.index import codec
+from lean_explore_spark.index.builder import POSTINGS_SCHEMA, term_bucket
+from lean_explore_spark.query import wand
+
+
+def _row_to_packed(row) -> codec.PackedPostings:
+    return codec.PackedPostings(
+        count=int(row["df_shard"]),
+        block_first=np.asarray(row["block_first"], dtype=np.int64),
+        block_last=np.asarray(row["block_last"], dtype=np.int64),
+        block_count=np.asarray(row["block_count"], dtype=np.int32),
+        block_gap_bytes=np.asarray(row["block_gap_bytes"], dtype=np.int32),
+        block_tf_bytes=np.asarray(row["block_tf_bytes"], dtype=np.int32),
+        block_max_score=np.asarray(row["block_max_score"], dtype=np.float64),
+        block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int32),
+        payload=bytes(row["payload"]),
+    )
+
+
+class SearchEngine:
+    def __init__(
+        self, spark: SparkSession, index_dir: str, preload: bool = False
+    ) -> None:
+        self.spark = spark
+        self.root = Path(index_dir)
+        self.stats = json.loads((self.root / "stats.json").read_text())
+        self.n_docs: int = self.stats["n_docs"]
+        self.avgdl: float = self.stats["avgdl"]
+        self.span: int = self.stats["span"]
+        self.num_buckets: int = self.stats["num_buckets"]
+        self.stem: bool = self.stats.get("stem", True)
+        self._dl_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._dict_cache: Optional[Dict[str, int]] = None
+        self._postings_cache: Optional[Dict[str, list]] = None
+        if preload:
+            self._preload()
+
+    # -- asset access ----------------------------------------------------
+
+    def _preload(self) -> None:
+        d = self.spark.read.parquet(str(self.root / "dictionary")).collect()
+        self._dict_cache = {r["term"]: int(r["df"]) for r in d}
+        rows = self.spark.read.parquet(str(self.root / "postings")).collect()
+        cache: Dict[str, list] = {}
+        for r in rows:
+            cache.setdefault(r["term"], []).append(r)
+        for lst in cache.values():
+            lst.sort(key=lambda r: int(r["shard"]))
+        self._postings_cache = cache
+        for shard in self._shards():
+            self._doc_lens(shard)
+
+    def _lookup_dfs(self, terms: Sequence[str]) -> Dict[str, int]:
+        if self._dict_cache is not None:
+            return {t: self._dict_cache[t] for t in terms if t in self._dict_cache}
+        buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
+        rows = (
+            self.spark.read.parquet(str(self.root / "dictionary"))
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _fetch_postings(self, terms: Sequence[str]) -> Dict[int, list]:
+        """term rows grouped by shard: {shard: [(term, PackedPostings)]}"""
+        by_shard: Dict[int, list] = {}
+        if self._postings_cache is not None:
+            for t in terms:
+                for r in self._postings_cache.get(t, []):
+                    by_shard.setdefault(int(r["shard"]), []).append((t, r))
+            return by_shard
+        buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
+        rows = (
+            self.spark.read.schema(POSTINGS_SCHEMA)
+            .parquet(str(self.root / "postings"))
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        for r in rows:
+            by_shard.setdefault(int(r["shard"]), []).append((r["term"], r))
+        return by_shard
+
+    def _doc_lens(self, shard: int) -> Tuple[np.ndarray, np.ndarray]:
+        if shard not in self._dl_cache:
+            rows = (
+                self.spark.read.parquet(str(self.root / "doc_stats"))
+                .where(F.col("shard") == shard)
+                .orderBy("doc_id")
+                .collect()
+            )
+            ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            lens = np.array([r["doc_len"] for r in rows], dtype=np.int64)
+            self._dl_cache[shard] = (ids, lens)
+        return self._dl_cache[shard]
+
+    def _all_doc_ids(self) -> np.ndarray:
+        parts = [self._doc_lens(s)[0] for s in sorted(self._shards())]
+        return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+    def _shards(self) -> List[int]:
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in (self.root / "doc_stats").iterdir()
+            if p.name.startswith("shard=")
+        )
+
+    # -- query -----------------------------------------------------------
+
+    def analyze_query(self, query: str) -> List[str]:
+        return tokenize_stem(query) if self.stem else tokenize(query)
+
+    def search(self, query: str, k: int = 50) -> List[Tuple[int, float]]:
+        tokens = self.analyze_query(query)
+        return self.search_tokens(tokens, k)
+
+    def search_tokens(
+        self, tokens: Sequence[str], k: int = 50
+    ) -> List[Tuple[int, float]]:
+        k = min(k, self.n_docs)
+        if k <= 0:
+            return []
+        dfs = self._lookup_dfs(sorted(set(tokens))) if tokens else {}
+        # absent terms contribute nothing at all (oracle: idf.get or 0)
+        live_tokens = [t for t in tokens if t in dfs]
+        uterms: List[str] = []
+        uindex: Dict[str, int] = {}
+        for t in live_tokens:
+            if t not in uindex:
+                uindex[t] = len(uterms)
+                uterms.append(t)
+        # math.log, not np.log: numpy's SIMD log can differ from libm in
+        # the last ulp, and the oracle (rank_bm25) uses math.log
+        idfs = np.array(
+            [math.log(self.n_docs + 1) - math.log(dfs[t]) for t in uterms],
+            dtype=np.float64,
+        )
+        ctx = wand.QueryContext(
+            token_uterm=[uindex[t] for t in live_tokens],
+            idfs=idfs,
+            k1=codec.K1,
+            b=codec.B,
+            delta=1.0,
+            avgdl=self.avgdl,
+        )
+
+        heap: List[Tuple[float, int, int]] = []
+        if uterms:
+            by_shard = self._fetch_postings(uterms)
+            for shard in sorted(by_shard):
+                dl_ids, dl_lens = self._doc_lens(shard)
+                cursors = [
+                    wand.TermCursor(_row_to_packed(r), uindex[t])
+                    for t, r in by_shard[shard]
+                ]
+                wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+
+        matched_ids = {e[2] for e in heap}
+
+        def unmatched_iter():
+            for d in self._all_doc_ids():
+                d = int(d)
+                if d not in matched_ids:
+                    yield d
+
+        return wand.finalize_topk(heap, ctx, k, unmatched_iter())

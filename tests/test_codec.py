@@ -1,0 +1,78 @@
+"""Codec round-trip + block-metadata property tests (SURVEY.md §5 plan #1)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lean_explore_spark.index import codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(arr)), arr)
+
+
+def test_varint_known_bytes():
+    assert codec.varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert codec.varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert codec.varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert codec.varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=1, max_value=500),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=0,
+        max_size=700,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=4, max_value=256),
+)
+@settings(max_examples=100, deadline=None)
+def test_pack_roundtrip(postings, block_size):
+    postings.sort()
+    ids = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    dls = np.array([p[2] for p in postings], dtype=np.int64)
+    packed = codec.pack_postings(ids, tfs, dls, avgdl=100.0, block_size=block_size)
+    got_ids, got_tfs = codec.unpack_all(packed)
+    assert np.array_equal(got_ids, ids)
+    assert np.array_equal(got_tfs, tfs)
+    # block metadata invariants
+    scores = codec.bm25_tf_part(tfs, dls, 100.0)
+    for bi in range(len(packed.block_first)):
+        lo = bi * block_size
+        hi = min(lo + block_size, len(ids))
+        assert packed.block_first[bi] == ids[lo]
+        assert packed.block_last[bi] == ids[hi - 1]
+        assert packed.block_max_tf[bi] == tfs[lo:hi].max()
+        assert packed.block_max_score[bi] == scores[lo:hi].max()
+        # upper bound property: no posting in the block beats max_score
+        assert np.all(scores[lo:hi] <= packed.block_max_score[bi])
+
+
+def test_single_block_decode_independent():
+    ids = np.arange(0, 1000, 3, dtype=np.int64)
+    tfs = np.ones(len(ids), dtype=np.int64)
+    dls = np.full(len(ids), 50, dtype=np.int64)
+    packed = codec.pack_postings(ids, tfs, dls, avgdl=50.0, block_size=64)
+    d, t = codec.unpack_block(packed, 2)
+    assert d[0] == packed.block_first[2]
+    assert np.array_equal(d, ids[128:192])
+
+
+def test_rejects_unsorted():
+    with pytest.raises(ValueError):
+        codec.pack_postings(
+            np.array([5, 3], dtype=np.int64),
+            np.array([1, 1], dtype=np.int64),
+            np.array([10, 10], dtype=np.int64),
+            avgdl=10.0,
+        )

@@ -1,0 +1,123 @@
+"""Index build + block-max WAND: bit-exact rank-identity vs the numpy
+oracle (SURVEY.md §5 plan #2/#4/#5), plus resume/checkpoint tests."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from lean_explore_spark.functions.tokenizer import tokenize_stem
+from lean_explore_spark.index.builder import IndexBuilder
+from lean_explore_spark.oracle import bm25 as oracle
+from lean_explore_spark.query.search import SearchEngine
+from tests.conftest import SF_ORACLE
+
+QUERIES = [
+    "fast table scan merge join",
+    "customer orders data",
+    "spark streaming window",
+    "group group group",
+    "nonexistentterm",
+    "the",
+    "slow query batch value row",
+    "",
+    "scan scan filter the a an window sort key",
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("idx") / "sf001"
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    IndexBuilder(
+        spark, str(out), stem=True, num_shards=4, num_buckets=4, block_size=32
+    ).build(docs, resume=False)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return SearchEngine(spark, index_dir, preload=True)
+
+
+@pytest.fixture(scope="module")
+def ostats():
+    rows = duckdb.sql(
+        f"select doc_id, text from '{SF_ORACLE}/documents.parquet' order by doc_id"
+    ).fetchall()
+    return oracle.build_stats(
+        [r[0] for r in rows], (tokenize_stem(r[1]) for r in rows)
+    )
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("k", [5, 25])
+def test_wand_bit_exact_vs_oracle(engine, ostats, query, k):
+    tokens = tokenize_stem(query)
+    got = engine.search_tokens(tokens, k)
+    want = oracle.top_k(ostats, tokens, k)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == ws, f"doc {gd}: {gs!r} != {ws!r} (bit-exact required)"
+
+
+def test_k_larger_than_matched(engine, ostats):
+    # rare-ish multi-term query with k exceeding matched docs exercises
+    # the delta-floor fill path
+    tokens = ["zzz_not_in_corpus"]
+    got = engine.search_tokens(tokens, 10)
+    want = oracle.top_k(ostats, tokens, 10)
+    assert got == [(d, s) for d, s in want]
+
+
+def test_index_stats_match_oracle(engine, ostats):
+    assert engine.n_docs == ostats.n_docs
+    assert engine.avgdl == pytest.approx(ostats.avgdl, rel=0, abs=0)
+
+
+def test_dictionary_df_matches_oracle(spark, index_dir, ostats):
+    rows = spark.read.parquet(f"{index_dir}/dictionary").collect()
+    got = {r["term"]: r["df"] for r in rows}
+    want = {t: len(m) for t, m in ostats.postings.items()}
+    assert got == want
+
+
+def test_resume_reproduces_identical_index(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+    full = tmp_path / "full"
+    IndexBuilder(spark, str(full), num_shards=4, num_buckets=4).build(
+        docs, resume=False
+    )
+
+    # simulate a kill after 2 of 4 shards
+    part = tmp_path / "part"
+    b = IndexBuilder(spark, str(part), num_shards=4, num_buckets=4)
+    part.mkdir(parents=True, exist_ok=True)
+    info = b.write_staging(docs)
+    stats = b.write_doc_stats(info)
+    for shard in (0, 1):
+        b._append_manifest([b.pack_shard(shard, avgdl=stats["avgdl"])])
+    # resume must pack only shards 2,3 and converge to the same index
+    b.build(docs, resume=True)
+
+    def fingerprint(d):
+        return (
+            spark.read.parquet(f"{d}/postings")
+            .groupBy("shard")
+            .agg(
+                __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                    "bit_xor(cast(conv(substring(md5(payload),1,15),16,10) as bigint))"
+                ).alias("fp"),
+            )
+            .orderBy("shard")
+            .collect()
+        )
+
+    assert [tuple(r) for r in fingerprint(full)] == [
+        tuple(r) for r in fingerprint(part)
+    ]
+    # manifest has exactly one committed row per shard
+    m = spark.read.parquet(str(part / "manifest")).collect()
+    assert sorted(r["shard"] for r in m) == [0, 1, 2, 3]
