@@ -43,7 +43,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25Plus top-k (stemmed analyzer) on sf0.001."""
     docs = _docs(spark, "/root/testdata/sf0.001")
-    analyzed = A.analyze(docs, stem=True)
+    analyzed = A.analyze(docs, stem=True).cache()
     tdf = A.term_doc_tf(analyzed)
     stats = A.doc_stats(analyzed)
     return df_scorer.score_query(
@@ -56,8 +56,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+_ANALYZED_CACHE: dict = {}
+
+
 def _analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return A.analyze(_docs(spark, sf_dir), stem=False)
+    """Analyzed relation, cached: the scorer's plan references it many
+    times (df, stats, matched, scored) and the driver runs several
+    contract queries over the same sf_dir — tokenize once."""
+    key = (id(spark), sf_dir)
+    if key not in _ANALYZED_CACHE:
+        df = A.analyze(_docs(spark, sf_dir), stem=False).cache()
+        _ANALYZED_CACHE[key] = df
+    return _ANALYZED_CACHE[key]
 
 
 def q_tokens_tf(spark: SparkSession, sf_dir: str) -> DataFrame:

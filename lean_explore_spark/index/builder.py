@@ -215,23 +215,36 @@ class IndexBuilder:
             return set()
         return {int(r["shard"]) for r in rows if r["status"] == "committed"}
 
-    def pack_shard(self, shard: int, avgdl: float) -> dict:
-        """Pack one doc-shard: bounded memory per (term) group, one job."""
+    def pack_shards(self, shards: List[int], avgdl: float) -> List[dict]:
+        """Pack a wave of doc-shards in ONE Spark job.
+
+        Groups are (term, shard) — still bounded by the shard span (the
+        skew defuse) — and the write uses dynamic partition overwrite so
+        only this wave's shard=/bucket= dirs are replaced; committed
+        shards from earlier runs are untouched.  Wave size trades job
+        overhead against checkpoint granularity (build(wave_size=...)).
+        """
         spark = self.spark
         num_buckets = self.num_buckets
         block_size = self.block_size
 
         staged = spark.read.parquet(str(self.paths.staging)).where(
-            F.col("shard") == shard
+            F.col("shard").isin([int(s) for s in shards])
         )
         exploded = staged.select(
+            F.col("shard"),
             F.col("doc_id"),
             F.col("doc_len").cast("long").alias("doc_len"),
             F.explode("tf_map").alias("term", "tf"),
         )
 
+        pack_schema = StructType(
+            [StructField("shard", IntegerType())] + POSTINGS_SCHEMA.fields
+        )
+
         def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
             term = pdf["term"].iloc[0]
+            shard = int(pdf["shard"].iloc[0])
             order = np.argsort(pdf["doc_id"].values, kind="mergesort")
             ids = pdf["doc_id"].values[order].astype(np.int64)
             tfs = pdf["tf"].values[order].astype(np.int64)
@@ -241,6 +254,7 @@ class IndexBuilder:
             )
             return pd.DataFrame(
                 {
+                    "shard": [shard],
                     "term": [term],
                     "bucket": [term_bucket(term, num_buckets)],
                     "df_shard": [packed.count],
@@ -255,41 +269,63 @@ class IndexBuilder:
                 }
             )
 
-        packed = exploded.groupBy("term").applyInPandas(
-            pack_group, schema=POSTINGS_SCHEMA
+        packed = exploded.groupBy("term", "shard").applyInPandas(
+            pack_group, schema=pack_schema
         )
-        shard_dir = self.paths.postings / f"shard={shard}"
         (
-            packed.repartition("bucket")
+            packed.repartition("shard", "bucket")
             .sortWithinPartitions("term")
-            .write.partitionBy("bucket")
+            .write.partitionBy("shard", "bucket")
+            .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
-            .parquet(str(shard_dir))
+            .parquet(str(self.paths.postings))
         )
 
-        # lineage metrics from what was actually written (explicit
-        # schema: an empty shard writes no files)
-        written = spark.read.schema(POSTINGS_SCHEMA).parquet(str(shard_dir))
-        m = written.agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df_shard").alias("n_postings"),
-            F.sum(F.length("payload")).alias("payload_bytes"),
-            # order-independent content fingerprint; bit_xor cannot
-            # overflow (Spark 4 ANSI mode makes sum() overflow throw)
-            F.expr(
-                "bit_xor(cast(conv(substring(md5(payload), 1, 15), 16, 10)"
-                " as bigint))"
-            ).alias("fingerprint"),
-        ).collect()[0]
-        return {
-            "shard": shard,
-            "n_terms": int(m["n_terms"]),
-            "n_postings": int(m["n_postings"] or 0),
-            "payload_bytes": int(m["payload_bytes"] or 0),
-            "fingerprint": int(m["fingerprint"] or 0),
-            "status": "committed",
-            "committed_at": time.time(),
-        }
+        # per-shard lineage metrics from what was actually written
+        out: List[dict] = []
+        committed_at = time.time()
+        read_schema = StructType(
+            POSTINGS_SCHEMA.fields + [StructField("shard", IntegerType())]
+        )
+        written = (
+            spark.read.schema(read_schema)
+            .parquet(str(self.paths.postings))
+            .where(F.col("shard").isin([int(s) for s in shards]))
+        )
+        rows = (
+            written.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df_shard").alias("n_postings"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+                # order-independent content fingerprint; bit_xor cannot
+                # overflow (Spark 4 ANSI mode makes sum() throw on it)
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(payload), 1, 15), 16, 10)"
+                    " as bigint))"
+                ).alias("fingerprint"),
+            )
+            .collect()
+        )
+        by_shard = {int(r["shard"]): r for r in rows}
+        for shard in shards:
+            r = by_shard.get(int(shard))
+            out.append(
+                {
+                    "shard": int(shard),
+                    "n_terms": int(r["n_terms"]) if r else 0,
+                    "n_postings": int(r["n_postings"] or 0) if r else 0,
+                    "payload_bytes": int(r["payload_bytes"] or 0) if r else 0,
+                    "fingerprint": int(r["fingerprint"] or 0) if r else 0,
+                    "status": "committed",
+                    "committed_at": committed_at,
+                }
+            )
+        return out
+
+    def pack_shard(self, shard: int, avgdl: float) -> dict:
+        """Single-shard wave (kept for the resume/kill tests)."""
+        return self.pack_shards([shard], avgdl)[0]
 
     def _append_manifest(self, rows: List[dict]) -> None:
         pdf = pd.DataFrame(rows)
@@ -317,7 +353,12 @@ class IndexBuilder:
 
     # -- orchestration ---------------------------------------------------
 
-    def build(self, docs: DataFrame, resume: bool = True) -> dict:
+    def build(
+        self, docs: DataFrame, resume: bool = True, wave_size: int | None = None
+    ) -> dict:
+        """``wave_size`` = shards packed (and committed) per Spark job;
+        None packs all pending shards in one job — fastest, coarsest
+        checkpoint.  Smaller waves give finer-grained resume."""
         if not resume and self.paths.root.exists():
             shutil.rmtree(self.paths.root)
         self.paths.root.mkdir(parents=True, exist_ok=True)
@@ -326,16 +367,15 @@ class IndexBuilder:
         stats = self.write_doc_stats(staging_info)
 
         done = self._completed_shards() if resume else set()
-        shards = [
+        pending = [
             s
             for s in range(self.num_shards)
-            if s * stats["span"] <= stats["max_doc_id"]
+            if s * stats["span"] <= stats["max_doc_id"] and s not in done
         ]
-        for shard in shards:
-            if shard in done:
-                continue
-            row = self.pack_shard(shard, avgdl=stats["avgdl"])
-            self._append_manifest([row])
+        wave = wave_size or len(pending) or 1
+        for i in range(0, len(pending), wave):
+            rows = self.pack_shards(pending[i : i + wave], avgdl=stats["avgdl"])
+            self._append_manifest(rows)
         self.write_dictionary()
         return stats
 

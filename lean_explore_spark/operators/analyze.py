@@ -70,6 +70,13 @@ def analyze(
         [StructField("doc_id", LongType())] + _ANALYZED_FIELDS
     )
 
+    # a tiny file count must not serialize the UDF pass: fan out when
+    # the scan under-parallelizes (no-op at scale, where the input
+    # already has >> defaultParallelism splits)
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+
     def analyze_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             texts = pdf[text_col]

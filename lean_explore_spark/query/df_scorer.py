@@ -1,17 +1,18 @@
 """BM25Plus scoring as declarative DataFrame ops (the no-index path).
 
 This is the Step-1 correctness anchor (SURVEY.md §7): score a query by
-joining the (term, doc_id, tf) relation with the query terms — all
-JVM-side, whole-stage-codegen'd column arithmetic; the only Python is
-query tokenization on the driver.  The packed-postings + block-max
-WAND engine (lean_explore_spark.query.wand) must return exactly these
-numbers.
+joining the (term, doc_id, tf) relation with the query terms.  The
+packed-postings + block-max WAND engine (lean_explore_spark.query.wand)
+must return exactly these numbers.
 
-Scale shape: the query-terms side is a tiny literal relation —
-Catalyst broadcast-joins it against the postings relation, so the scan
-of (term, doc_id, tf) is filtered to the query's terms with no shuffle
-of the big side (semi-join pushdown); the final groupBy(doc_id) only
-aggregates matched rows.
+Plan shape: the per-term constants (df → idf, query multiplicity,
+delta-floor constant C) are tiny — they are computed driver-side with
+``math.log`` (bit-identical to the numpy oracle) and shipped back as a
+broadcast literal relation, so the big (term, doc_id, tf) side is
+touched by exactly two jobs: one semi-aggregate for df, one final
+scoring pass.  Everything on the big side is JVM column arithmetic
+inside whole-stage codegen; the broadcast join needs no shuffle of the
+postings relation.
 
 Formula per SURVEY.md §2.9 (rank_bm25 BM25Plus, reference
 local/search.py:674-678): score = C + Σ_matched qtf·idf·tf·(k1+1)/(K+tf)
@@ -20,7 +21,8 @@ with C = Σ_{t∈q∩V} qtf·idf·δ added to every doc.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import math
+from typing import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -46,59 +48,52 @@ def score_query(
     ``tdf``: (term, doc_id, tf); ``stats``: (doc_id, doc_len).
     Ties break by doc_id ascending (SURVEY.md §2.9 tie-break pin).
     """
-    if not query_tokens:
-        out = stats.select(
-            "doc_id", F.lit(0.0).alias("score")
+    empty = not query_tokens
+    qcounts: dict = {}
+    for t in query_tokens or ():
+        qcounts[t] = qcounts.get(t, 0) + 1
+
+    if not empty:
+        # driver-side constants: df per query term (one aggregate over
+        # the pruned big side), then idf / C with math.log = oracle
+        n_row = stats.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(n_row["n"]), float(n_row["avgdl"])
+        df_rows = (
+            tdf.where(F.col("term").isin(list(qcounts)))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
         )
+        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+        weights = []  # (term, qtf*idf)
+        c = 0.0
+        for t, qtf in qcounts.items():
+            if t in dfs:
+                idf = math.log(n_docs + 1) - math.log(dfs[t])
+                weights.append((t, float(qtf) * idf))
+                c += float(qtf) * idf * delta
+        empty = not weights
+
+    if empty:
+        out = stats.select("doc_id", F.lit(0.0).alias("score"))
         return out.orderBy(F.asc("doc_id")).limit(k)
 
-    # query-term relation with multiplicity
-    qcounts: dict = {}
-    for t in query_tokens:
-        qcounts[t] = qcounts.get(t, 0) + 1
-    qterms = spark.createDataFrame(
-        [(t, float(c)) for t, c in qcounts.items()], "term string, qtf double"
-    )
-
-    n_avg = stats.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
-
-    # df restricted to query terms: broadcast the tiny query relation,
-    # aggregate only matching postings rows
-    q_df = (
-        tdf.join(F.broadcast(qterms), "term")
-        .groupBy("term", "qtf")
-        .agg(F.count("*").alias("df"))
-    )
-    q_idf = q_df.crossJoin(F.broadcast(n_avg)).select(
-        "term",
-        "qtf",
-        (F.log(F.col("n_docs") + F.lit(1.0)) - F.log("df")).alias("idf"),
-    )
-
-    # additive delta-floor constant over corpus-present query terms
-    const = q_idf.agg(
-        F.coalesce(F.sum(F.col("qtf") * F.col("idf") * F.lit(delta)), F.lit(0.0)).alias(
-            "c"
-        )
-    )
-
+    qrel = spark.createDataFrame(weights, "term string, w double")
     matched = (
-        tdf.join(F.broadcast(q_idf), "term")
+        tdf.join(F.broadcast(qrel), "term")
         .join(stats, "doc_id")
-        .crossJoin(F.broadcast(n_avg))
         .select(
             "doc_id",
             (
-                F.col("qtf")
-                * F.col("idf")
+                F.col("w")
                 * (F.col("tf") * F.lit(k1 + 1.0))
                 / (
                     F.lit(k1)
                     * (
                         F.lit(1.0 - b)
-                        + F.lit(b) * F.col("doc_len") / F.col("avgdl")
+                        + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
                     )
                     + F.col("tf")
                 )
@@ -107,14 +102,12 @@ def score_query(
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("s"))
     )
-
     scored = (
         stats.select("doc_id")
         .join(matched, "doc_id", "left")
-        .crossJoin(F.broadcast(const))
         .select(
             "doc_id",
-            (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("c")).alias("score"),
+            (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(c)).alias("score"),
         )
     )
     if round_to is not None:

@@ -1,0 +1,170 @@
+"""Common-Crawl-style ``pages`` source + vectorized text extraction.
+
+``BASELINE.json:input_hint`` fixes the input table shape:
+``(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)``.  No external data exists in this sandbox, so the
+table is synthesized deterministically (FIXTURES.md §1): every row is
+a pure function of ``(seed, i)`` via counter-based Philox streams —
+the same rows come out regardless of partitioning or cluster size,
+which the determinism tests rely on.
+
+The extraction operator mirrors the reference's per-row invariant —
+``statement_text`` is an exact char-slice of the source file
+(dev_tools/population/phase2_tasks.py:703-706) — as: extracted text is
+the exact byte-slice of ``html`` between the body markers, decoded
+UTF-8; byte-identical per url, tested in
+tests/test_pages.py::test_extraction_byte_identical.
+
+Vocabulary is Zipf-distributed (~5.2k terms: plain words, camelCase,
+digit-suffixed, underscore-joined, Unicode) so hot-term skew is real:
+the top term appears in nearly every doc, exercising the doc-shard
+salting path and giving WAND something to prune.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_BASE_WORDS = [
+    "the", "of", "and", "data", "page", "web", "search", "index", "query",
+    "table", "scan", "merge", "join", "sort", "group", "filter", "window",
+    "stream", "batch", "row", "column", "value", "key", "hash", "block",
+    "term", "document", "score", "rank", "engine", "crawl", "link", "text",
+    "token", "word", "list", "fast", "slow", "large", "small", "new", "old",
+    "system", "node", "cluster", "shard", "partition", "compress", "encode",
+    "theorem", "definition", "group", "ring", "field", "space", "continuous",
+    "function", "number", "prime", "matrix", "vector", "graph", "tree",
+]
+
+
+def _make_vocab() -> List[str]:
+    vocab: List[str] = []
+    vocab.extend(_BASE_WORDS)
+    for i, w in enumerate(_BASE_WORDS):
+        vocab.append(f"{w}{i % 97}")  # digit-suffixed
+        vocab.append(w + "Page")  # camelCase
+        vocab.append(w + "_id")  # underscore-joined
+    for a in _BASE_WORDS[:40]:
+        for b in _BASE_WORDS[:40]:
+            if a != b:
+                vocab.append(a + b.capitalize())  # camelCase compounds
+    vocab.extend(["über", "naïve", "café", "straße", "日本語", "числа"])
+    # dedupe, stable order
+    seen = set()
+    out = []
+    for w in vocab:
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
+
+
+VOCAB = _make_vocab()
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ]
+)
+
+_LANGS = ["en"] * 9 + ["de", "fr", "zh"]
+_BODY_OPEN = b"<body>"
+_BODY_CLOSE = b"</body>"
+
+
+def _row(i: int, seed: int, zipf_a: float, vocab_p: np.ndarray):
+    rng = np.random.Generator(np.random.Philox(key=[seed, i]))
+    n_tokens = int(np.clip(rng.lognormal(mean=4.0, sigma=0.8), 5, 2000))
+    idx = rng.choice(len(VOCAB), size=n_tokens, p=vocab_p)
+    text = " ".join(VOCAB[j] for j in idx)
+    url = f"https://example{i % 1000}.com/p/{i}"
+    ts = np.datetime64("2025-01-01T00:00:00") + np.timedelta64(
+        int(rng.integers(0, 365 * 24 * 3600)), "s"
+    )
+    title = f"page {i}".encode()
+    html = (
+        b"<html><head><title>" + title + b"</title>"
+        b'<meta charset="utf-8"></head>' + _BODY_OPEN + text.encode("utf-8")
+        + _BODY_CLOSE + b"</html>"
+    )
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+    return url, pd.Timestamp(ts), html, text, lang
+
+
+def _vocab_probs(zipf_a: float) -> np.ndarray:
+    ranks = np.arange(1, len(VOCAB) + 1, dtype=np.float64)
+    p = ranks**-zipf_a
+    return p / p.sum()
+
+
+def generate_pages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    zipf_a: float = 1.1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pages table: row i is a pure function of (seed, i)."""
+    vocab_p = _vocab_probs(zipf_a)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_row(int(i), seed, zipf_a, vocab_p) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    base = spark.range(0, n, numPartitions=partitions)
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html → extracted text, byte-identical per url (Arrow UDF).
+
+    The per-row invariant (input_hint): the ``text`` column must equal
+    the exact byte-slice between the body markers of ``html``.
+    """
+
+    @F.pandas_udf(StringType())
+    def _extract(html: pd.Series) -> pd.Series:
+        out = []
+        for h in html:
+            b = bytes(h)
+            lo = b.find(_BODY_OPEN)
+            hi = b.rfind(_BODY_CLOSE)
+            if lo < 0 or hi < 0 or hi <= lo:
+                out.append("")
+            else:
+                out.append(b[lo + len(_BODY_OPEN) : hi].decode("utf-8"))
+        return pd.Series(out, dtype="object")
+
+    return pages.withColumn("extracted_text", _extract(F.col("html")))
+
+
+def assign_doc_ids(pages: DataFrame) -> DataFrame:
+    """Deterministic docID = dense rank over url (SURVEY.md §1.2).
+
+    Exact but a global sort; at 10^12 docs the scale-out alternative is
+    a collision-checked url hash (documented trade-off, SURVEY.md §4.4).
+    """
+    w = Window.orderBy("url")
+    return pages.withColumn(
+        "doc_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+    )
