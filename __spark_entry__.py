@@ -1,17 +1,29 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json).
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Engine mapping (SURVEY.md §2): relational stages of the inverted-index
-build (tokens_tf / term_df / doc_stats / corpus_stats, §2.4 A7) and
-the BM25Plus scorer (§2.9) are cross-checked against ANSI-SQL DuckDB
-oracles.  SQL-checked variants use the unstemmed analyzer (plain
-``\\w+`` lowercase) because DuckDB cannot run the NLTK-extensions
-Porter stemmer; stemming parity is covered by pytest against the
-in-repo numpy oracle (tests/).
+Coverage map (SURVEY.md §2 + training-data ops):
+
+* BM25 engine relational stages + scorer: tokens_tf, term_df,
+  doc_stats, corpus_stats, bm25_topk (§2.4 A7, §2.9)
+* dedup family: dedup_exact (A2/F5), minhash_signatures,
+  minhash_pairs, simhash, ngram_jaccard
+* similarity: cosine_topk (brute force), lsh_buckets, ann_lsh_topk
+* text analysis: lang_id, quality_score, token_counts, fingerprint
+* relational classes: region_rollup (J1/J3), customers_without_orders
+  (J8/O4), top_orders_per_customer (W1/W2/W4), shipments_in_window
+  (J6), acctbal_minmax_norm (A5/A6), pricing_summary (A1/A4),
+  event_sessionization (window/lag)
+* iterative / non-SQL (rows-only checks): pagerank_supplier_part (G1),
+  image_features, video_frame_sample (multimodal plumbing)
+
+SQL-checked text queries use the SQL analyzer (JVM ``\\w+``; the test
+corpus is ASCII so it coincides with the Python analyzer); Porter-
+stemmed BM25 parity is covered by pytest against the in-repo numpy
+oracle (tests/test_index_and_wand.py, tests/test_reference_queries.py).
 """
 
 from __future__ import annotations
@@ -28,16 +40,28 @@ if str(_REPO) not in sys.path:
 
 from lean_explore_spark.functions.tokenizer import tokenize, tokenize_stem  # noqa: E402
 from lean_explore_spark.operators import analyze as A  # noqa: E402
+from lean_explore_spark.operators import dedup as D  # noqa: E402
+from lean_explore_spark.operators import graph as G  # noqa: E402
+from lean_explore_spark.operators import multimodal as M  # noqa: E402
+from lean_explore_spark.operators import relational as R  # noqa: E402
+from lean_explore_spark.operators import similarity as S  # noqa: E402
+from lean_explore_spark.operators import textstats as T  # noqa: E402
 from lean_explore_spark.pyfiles import ensure_py_files  # noqa: E402
 from lean_explore_spark.query import df_scorer  # noqa: E402
 
 FLAGSHIP_QUERY = "fast table scan merge join"
 TOPK = 20
+QUERY_VEC_ID = 7
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_py_files(spark)  # executors need the package on sys.path
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_py_files(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -52,17 +76,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# SQL-checked queries (unstemmed analyzer — DuckDB-expressible)
+# BM25 relational stages (unstemmed analyzer — DuckDB-expressible)
 # --------------------------------------------------------------------
-
 
 _ANALYZED_CACHE: dict = {}
 
 
 def _analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzed relation, cached: the scorer's plan references it many
-    times (df, stats, matched, scored) and the driver runs several
-    contract queries over the same sf_dir — tokenize once."""
+    times and the driver runs several contract queries over the same
+    sf_dir — tokenize once."""
     key = (id(spark), sf_dir)
     if key not in _ANALYZED_CACHE:
         df = A.analyze(_docs(spark, sf_dir), stem=False).cache()
@@ -70,23 +93,23 @@ def _analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANALYZED_CACHE[key]
 
 
-def q_tokens_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_tokens_tf(spark, sf_dir):
     return A.term_doc_tf(_analyzed(spark, sf_dir))
 
 
-def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_stats(spark, sf_dir):
     return A.doc_stats(_analyzed(spark, sf_dir))
 
 
-def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_term_df(spark, sf_dir):
     return A.dictionary(A.term_doc_tf(_analyzed(spark, sf_dir)))
 
 
-def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_stats(spark, sf_dir):
     return A.corpus_stats(A.doc_stats(_analyzed(spark, sf_dir)))
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bm25_topk(spark, sf_dir):
     analyzed = _analyzed(spark, sf_dir)
     return df_scorer.score_query(
         spark,
@@ -98,13 +121,50 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# queries registry
+# --------------------------------------------------------------------
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # BM25 engine stages
         "tokens_tf": q_tokens_tf,
         "doc_stats": q_doc_stats,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
+        # dedup family
+        "dedup_exact": lambda s, d: D.exact_dup_groups(_docs(s, d)),
+        "minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
+        "minhash_pairs": lambda s, d: D.minhash_candidate_pairs(_docs(s, d)),
+        "simhash": lambda s, d: D.simhash(_docs(s, d)),
+        "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
+        # similarity / ANN
+        "cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), QUERY_VEC_ID),
+        "lsh_buckets": lambda s, d: S.rp_lsh_buckets(_emb(s, d)),
+        "ann_lsh_topk": lambda s, d: S.ann_topk_lsh(_emb(s, d), QUERY_VEC_ID),
+        # text analysis
+        "lang_id": lambda s, d: T.lang_id(_docs(s, d)),
+        "quality_score": lambda s, d: T.quality_score(_docs(s, d)),
+        "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
+        "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
+        # relational operator classes
+        "region_rollup": R.region_rollup,
+        "customers_without_orders": R.customers_without_orders,
+        "top_orders_per_customer": R.top_orders_per_customer,
+        "shipments_in_window": R.shipments_in_window,
+        "acctbal_minmax_norm": R.acctbal_minmax_norm,
+        "pricing_summary": R.pricing_summary,
+        "event_sessionization": R.event_sessionization,
+        # iterative / multimodal (rows-only checks — no SQL oracle)
+        "pagerank_supplier_part": G.supplier_part_pagerank,
+        "image_features": lambda s, d: M.image_features(
+            M.generate_media(s, 300)
+        ),
+        "video_frame_sample": lambda s, d: M.frame_sample(
+            M.generate_media(s, 300)
+        ),
     }
 
 
@@ -154,6 +214,362 @@ ORDER BY round(coalesce(m.s, 0.0) + const.c, 6) DESC, d.doc_id ASC
 LIMIT {TOPK}
 """
 
+# shared fragments for the dedup family --------------------------------
+
+_P = D.MERSENNE31
+
+# word 3-gram shingles, distinct per doc
+_SHINGLES = r"""
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+),
+ptok AS (
+  -- parallel unnest zips positionally (no WITH ORDINALITY in duckdb)
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM tl
+),
+sh0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS shingle,
+         lead(term, 2) OVER w AS _l2
+  FROM ptok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE _l2 IS NOT NULL),
+digits AS (SELECT unnest(generate_series(1, 15)) AS i)
+"""
+
+# md5-hex(15 chars) → bigint fold, applied to sh → (doc_id, shingle, x)
+_SHINGLE_X = f"""
+xs AS (
+  SELECT doc_id, shingle,
+         CAST(sum((strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) % {_P} AS x
+  FROM sh CROSS JOIN digits
+  GROUP BY doc_id, shingle
+)
+"""
+
+_PARAMS_VALUES = ",".join(f"({i},{a},{b})" for i, a, b in D.HASH_PARAMS)
+
+_MINHASH_SIG_SQL = f"""
+WITH {_SHINGLES},
+{_SHINGLE_X},
+params(i, a, b) AS (VALUES {_PARAMS_VALUES})
+SELECT doc_id, params.i AS i,
+       min((params.a * xs.x + params.b) % {_P}) AS minhash
+FROM xs CROSS JOIN params
+GROUP BY doc_id, params.i
+"""
+
+_BANDS = f"""
+sig AS (
+  SELECT doc_id, params.i AS i,
+         min((params.a * xs.x + params.b) % {_P}) AS minhash
+  FROM xs CROSS JOIN params
+  GROUP BY doc_id, params.i
+),
+bands AS (
+  SELECT doc_id, i // {D.BAND_ROWS} AS band,
+         concat_ws(',',
+           max(CASE WHEN i % {D.BAND_ROWS} = 0 THEN minhash END),
+           max(CASE WHEN i % {D.BAND_ROWS} = 1 THEN minhash END),
+           max(CASE WHEN i % {D.BAND_ROWS} = 2 THEN minhash END),
+           max(CASE WHEN i % {D.BAND_ROWS} = 3 THEN minhash END)) AS band_key
+  FROM sig GROUP BY doc_id, i // {D.BAND_ROWS}
+)
+"""
+
+_MINHASH_PAIRS_SQL = f"""
+WITH {_SHINGLES},
+{_SHINGLE_X},
+params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+{_BANDS}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+),
+tfx AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+hx AS (
+  SELECT doc_id, tf,
+         CAST(sum((strpos('0123456789abcdef', substr(md5(term), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS x
+  FROM tfx CROSS JOIN digits
+  GROUP BY doc_id, term, tf
+),
+bitsj AS (SELECT unnest(generate_series(0, {D.SIMHASH_BITS - 1})) AS j),
+votes AS (
+  SELECT doc_id, j, sum(tf * (((x >> j) & 1) * 2 - 1)) AS v
+  FROM hx CROSS JOIN bitsj
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+"""
+
+# similarity ------------------------------------------------------------
+
+_COSINE_PRE = f"""
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+qv AS (
+  SELECT CAST(unnest(qvec) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(qvec))) AS i
+  FROM q
+),
+qn AS (SELECT sqrt(sum(v * v)) AS qnorm FROM qv),
+dots AS (
+  SELECT ev.vec_id, sum(ev.v * qv.v) AS dot, sum(ev.v * ev.v) AS n2
+  FROM ev JOIN qv USING (i)
+  GROUP BY ev.vec_id
+)
+"""
+
+_COSINE_SQL = f"""
+WITH {_COSINE_PRE}
+SELECT vec_id, round(dot / (sqrt(n2) * qn.qnorm), 6) AS cos
+FROM dots CROSS JOIN qn
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY round(dot / (sqrt(n2) * qn.qnorm), 6) DESC, vec_id ASC
+LIMIT 20
+"""
+
+_LSH_BUCKETS_CTE = f"""
+planes AS (SELECT unnest(generate_series(0, {S.N_PLANES - 1})) AS p),
+evl AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+dotp AS (
+  SELECT vec_id, p,
+         sum(v * (((p * 131 + (i - 1) * 31) % 17 - 8) / 8.0)) AS dot
+  FROM evl CROSS JOIN planes
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0.0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+           AS bucket
+  FROM dotp GROUP BY vec_id
+)
+"""
+
+_LSH_BUCKETS_SQL = f"WITH {_LSH_BUCKETS_CTE} SELECT vec_id, bucket FROM buckets"
+
+_ANN_LSH_SQL = f"""
+WITH {_LSH_BUCKETS_CTE},
+qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT b.vec_id FROM buckets b CROSS JOIN qb WHERE b.bucket = qb.qbucket
+),
+{_COSINE_PRE}
+SELECT d.vec_id, round(d.dot / (sqrt(d.n2) * qn.qnorm), 6) AS cos
+FROM dots d CROSS JOIN qn
+JOIN cand USING (vec_id)
+WHERE d.vec_id <> {QUERY_VEC_ID}
+ORDER BY round(d.dot / (sqrt(d.n2) * qn.qnorm), 6) DESC, d.vec_id ASC
+LIMIT 20
+"""
+
+# text analysis ---------------------------------------------------------
+
+_STOPWORD_VALUES = ",".join(
+    f"('{lang}','{w}')" for lang, ws in T.STOPWORDS.items() for w in ws
+)
+
+_LANG_ID_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+  FROM documents
+),
+sw(lang, tok) AS (VALUES {_STOPWORD_VALUES}),
+hits AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM tok JOIN sw USING (tok)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0) AS hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+_EN_SW = ",".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(length(tok)) AS tc,
+         count(*) FILTER (WHERE tok IN ({_EN_SW})) AS sh
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, length(d.text) AS n_chars,
+         coalesce(a.n_tokens, 0) AS n_tokens,
+         coalesce(a.tc, 0) AS tc, coalesce(a.sh, 0) AS sh,
+         length(regexp_replace(d.text, '[A-Za-z0-9_\\s]', '', 'g')) AS pc
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN tc / n_tokens ELSE 0.0 END, 6)
+    AS mean_token_len,
+  round(CASE WHEN n_chars > 0 THEN pc / n_chars ELSE 0.0 END, 6)
+    AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN sh / n_tokens ELSE 0.0 END, 6)
+    AS stop_ratio,
+  round(1.0 - (CASE WHEN n_chars > 0 THEN pc / n_chars ELSE 0.0 END)
+        + 0.5 * (CASE WHEN n_tokens > 0 THEN sh / n_tokens ELSE 0.0 END)
+        - (CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END), 6) AS quality
+FROM base
+"""
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+  CAST(length(regexp_extract_all(lower(text), '\\w+')) AS BIGINT)
+    AS word_tokens,
+  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+    AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+_FINGERPRINT_SQL = """
+WITH grams AS (
+  -- DISTINCT: duplicate grams would double the digit-fold sum below
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - 7, 1))) AS t(i)
+),
+digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+hx AS (
+  SELECT doc_id, g,
+         CAST(sum((strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS h
+  FROM grams CROSS JOIN digits
+  GROUP BY doc_id, g
+)
+SELECT doc_id, min(h) AS fp FROM hx GROUP BY doc_id
+"""
+
+# relational ------------------------------------------------------------
+
+_REGION_ROLLUP_SQL = """
+SELECT r.r_name, count(*) AS customers, round(avg(c.c_acctbal), 6)
+  AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+_NO_ORDERS_SQL = """
+SELECT c.c_nationkey, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+"""
+
+_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn
+  FROM orders
+)
+WHERE rn <= 2
+"""
+
+_SHIPMENTS_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority
+"""
+
+_MINMAX_SQL = """
+SELECT c_custkey, c_nationkey,
+  round(CASE WHEN hi - lo > 0 THEN (c_acctbal - lo) / (hi - lo)
+        ELSE 0.0 END, 6) AS norm_acctbal
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         min(c_acctbal) OVER (PARTITION BY c_nationkey) AS lo,
+         max(c_acctbal) OVER (PARTITION BY c_nationkey) AS hi
+  FROM customer
+)
+"""
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 6) AS sum_qty,
+  round(sum(l_extendedprice), 6) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-06-30'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap
+  FROM events WHERE user_id < 200
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         AS n_sessions,
+       count(*) AS n_events
+FROM e GROUP BY user_id
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -167,4 +583,29 @@ def oracle_sql() -> dict[str, str]:
             " FROM docs"
         ),
         "bm25_topk": _BM25_SQL,
+        "dedup_exact": (
+            "SELECT sha256(regexp_replace(text, '\\r\\n', chr(10), 'g'))"
+            " AS text_hash, count(*) AS dup_count,"
+            " min(doc_id) AS canonical_doc_id FROM documents GROUP BY 1"
+        ),
+        "minhash_signatures": _MINHASH_SIG_SQL,
+        "minhash_pairs": _MINHASH_PAIRS_SQL,
+        "simhash": _SIMHASH_SQL,
+        "ngram_jaccard": _JACCARD_SQL,
+        "cosine_topk": _COSINE_SQL,
+        "lsh_buckets": _LSH_BUCKETS_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "quality_score": _QUALITY_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "region_rollup": _REGION_ROLLUP_SQL,
+        "customers_without_orders": _NO_ORDERS_SQL,
+        "top_orders_per_customer": _TOP_ORDERS_SQL,
+        "shipments_in_window": _SHIPMENTS_SQL,
+        "acctbal_minmax_norm": _MINMAX_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "event_sessionization": _SESSIONS_SQL,
+        # pagerank_supplier_part, image_features, video_frame_sample:
+        # intentionally absent → driver records rows-only checks
     }

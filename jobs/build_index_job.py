@@ -42,6 +42,17 @@ def main(argv=None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
 
+    # warm executor threads + Python UDF workers (pandas/numpy imports)
+    # before the timed section — measures the pipeline, not cold start
+    from lean_explore_spark.operators.analyze import analyze
+
+    cpus = spark.sparkContext.defaultParallelism
+    analyze(
+        spark.range(0, cpus * 4).selectExpr(
+            "id as doc_id", "repeat('warm up ', 4) as text"
+        )
+    ).count()
+
     t0 = time.time()
     stats = IndexBuilder(
         spark,

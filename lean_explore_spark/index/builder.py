@@ -85,10 +85,20 @@ POSTINGS_SCHEMA = StructType(
 
 
 def term_bucket(term: str, num_buckets: int) -> int:
-    """Deterministic term→bucket, identical on driver and executors
-    (not JVM hash — must be reproducible from Python at query time)."""
-    h = hashlib.md5(term.encode("utf-8")).digest()
-    return int.from_bytes(h[:4], "little") % num_buckets
+    """Deterministic term→bucket, identical in Python (query-time
+    driver lookups) and as the JVM expression
+    ``conv(substring(md5(term),1,8),16,10) % B`` (build-time shuffle
+    key) — big-endian first 4 md5 bytes."""
+    h = hashlib.md5(term.encode("utf-8")).hexdigest()
+    return int(h[:8], 16) % num_buckets
+
+
+def term_bucket_col(num_buckets: int):
+    """JVM column twin of term_bucket (whole-stage codegen, no UDF)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    ).cast("int")
 
 
 @dataclass
@@ -218,11 +228,16 @@ class IndexBuilder:
     def pack_shards(self, shards: List[int], avgdl: float) -> List[dict]:
         """Pack a wave of doc-shards in ONE Spark job.
 
-        Groups are (term, shard) — still bounded by the shard span (the
-        skew defuse) — and the write uses dynamic partition overwrite so
-        only this wave's shard=/bucket= dirs are replaced; committed
-        shards from earlier runs are untouched.  Wave size trades job
-        overhead against checkpoint granularity (build(wave_size=...)).
+        Shuffle shape: ONE exchange — ``repartition(shard, bucket)`` +
+        ``sortWithinPartitions(shard, bucket, term, doc_id)`` — then a
+        STREAMING mapInPandas packer that detects (shard, term) runs
+        vectorized across Arrow batches.  No groupBy: a per-term
+        applyInPandas pays pandas-group overhead per term (~1 ms × |vocab
+        × shards| groups dominated the build); the streaming packer's
+        per-task state is one term-run, bounded by the shard span (the
+        skew defuse).  Write uses dynamic partition overwrite so only
+        this wave's shard=/bucket= dirs are replaced; each (shard,
+        bucket) lands in exactly one task → one file per partition dir.
         """
         spark = self.spark
         num_buckets = self.num_buckets
@@ -236,46 +251,97 @@ class IndexBuilder:
             F.col("doc_id"),
             F.col("doc_len").cast("long").alias("doc_len"),
             F.explode("tf_map").alias("term", "tf"),
-        )
+        ).withColumn("bucket", term_bucket_col(num_buckets))
 
         pack_schema = StructType(
             [StructField("shard", IntegerType())] + POSTINGS_SCHEMA.fields
         )
 
-        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            term = pdf["term"].iloc[0]
-            shard = int(pdf["shard"].iloc[0])
-            order = np.argsort(pdf["doc_id"].values, kind="mergesort")
-            ids = pdf["doc_id"].values[order].astype(np.int64)
-            tfs = pdf["tf"].values[order].astype(np.int64)
-            dls = pdf["doc_len"].values[order].astype(np.int64)
-            packed = codec.pack_postings(
-                ids, tfs, dls, avgdl=avgdl, block_size=block_size
-            )
-            return pd.DataFrame(
-                {
-                    "shard": [shard],
-                    "term": [term],
-                    "bucket": [term_bucket(term, num_buckets)],
-                    "df_shard": [packed.count],
-                    "block_first": [packed.block_first.tolist()],
-                    "block_last": [packed.block_last.tolist()],
-                    "block_count": [packed.block_count.tolist()],
-                    "block_gap_bytes": [packed.block_gap_bytes.tolist()],
-                    "block_tf_bytes": [packed.block_tf_bytes.tolist()],
-                    "block_max_score": [packed.block_max_score.tolist()],
-                    "block_max_tf": [packed.block_max_tf.tolist()],
-                    "payload": [packed.payload],
-                }
-            )
+        def pack_stream(batches):
+            import numpy as np  # executor-side
+            import pandas as pd
 
-        packed = exploded.groupBy("term", "shard").applyInPandas(
-            pack_group, schema=pack_schema
+            cur_key = None  # (shard, term)
+            cur_bucket = 0
+            bufs: List[pd.DataFrame] = []
+            out_rows: List[tuple] = []
+
+            def flush():
+                if cur_key is None or not bufs:
+                    return
+                run = pd.concat(bufs) if len(bufs) > 1 else bufs[0]
+                ids = run["doc_id"].to_numpy(np.int64)
+                tfs = run["tf"].to_numpy(np.int64)
+                dls = run["doc_len"].to_numpy(np.int64)
+                p = codec.pack_postings(
+                    ids, tfs, dls, avgdl=avgdl, block_size=block_size
+                )
+                out_rows.append(
+                    (
+                        int(cur_key[0]),
+                        cur_key[1],
+                        int(cur_bucket),
+                        p.count,
+                        p.block_first.tolist(),
+                        p.block_last.tolist(),
+                        p.block_count.tolist(),
+                        p.block_gap_bytes.tolist(),
+                        p.block_tf_bytes.tolist(),
+                        p.block_max_score.tolist(),
+                        p.block_max_tf.tolist(),
+                        p.payload,
+                    )
+                )
+
+            cols = [
+                "shard",
+                "term",
+                "bucket",
+                "df_shard",
+                "block_first",
+                "block_last",
+                "block_count",
+                "block_gap_bytes",
+                "block_tf_bytes",
+                "block_max_score",
+                "block_max_tf",
+                "payload",
+            ]
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                shards_arr = pdf["shard"].to_numpy()
+                terms_arr = pdf["term"].to_numpy()
+                # run boundaries: first row of each (shard, term) run
+                change = np.ones(len(pdf), dtype=bool)
+                change[1:] = (shards_arr[1:] != shards_arr[:-1]) | (
+                    terms_arr[1:] != terms_arr[:-1]
+                )
+                starts = np.flatnonzero(change)
+                ends = np.append(starts[1:], len(pdf))
+                for s, e in zip(starts, ends):
+                    key = (shards_arr[s], terms_arr[s])
+                    if key != cur_key:
+                        flush()
+                        bufs.clear()
+                        cur_key = key
+                        cur_bucket = pdf["bucket"].iat[s]
+                    bufs.append(pdf.iloc[s:e])
+                if out_rows:
+                    yield pd.DataFrame(out_rows, columns=cols)
+                    out_rows.clear()
+            flush()
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
+
+        packed = (
+            exploded.repartition("shard", "bucket")
+            .sortWithinPartitions("shard", "bucket", "term", "doc_id")
+            .mapInPandas(pack_stream, schema=pack_schema)
         )
         (
-            packed.repartition("shard", "bucket")
-            .sortWithinPartitions("term")
-            .write.partitionBy("shard", "bucket")
+            packed.write.partitionBy("shard", "bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(str(self.paths.postings))
@@ -341,7 +407,7 @@ class IndexBuilder:
         dictionary = (
             postings.groupBy("term")
             .agg(F.sum("df_shard").alias("df"))
-            .withColumn("bucket", _bucket_udf(self.num_buckets)(F.col("term")))
+            .withColumn("bucket", term_bucket_col(self.num_buckets))
         )
         (
             dictionary.repartition("bucket")
@@ -378,16 +444,6 @@ class IndexBuilder:
             self._append_manifest(rows)
         self.write_dictionary()
         return stats
-
-
-def _bucket_udf(num_buckets: int):
-    import pyspark.sql.functions as F
-
-    @F.pandas_udf(IntegerType())
-    def _b(terms: pd.Series) -> pd.Series:
-        return terms.map(lambda t: term_bucket(t, num_buckets)).astype("int32")
-
-    return _b
 
 
 def build_index(

@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup mirrors the reference's content-hash grouping
+(dev_tools/population/phase3_tasks.py:160-173 LF-normalized SHA-256;
+:425-441 first-writer-wins canonicalization).  The near-dup family
+(MinHash+LSH, SimHash, n-gram Jaccard) is the standard web-scale
+recipe the reference never needed at its corpus size — implemented
+Spark-first: every step is built-in JVM column arithmetic
+(regexp/md5/conv/windows/aggregations), NO Python UDFs, so whole-stage
+codegen applies and the same math is expressible in the DuckDB oracle
+SQL for the correctness gate.
+
+Scale shapes:
+* exact: one groupBy(hash) — partial-aggregated, skew-free (hashes
+  are uniform).
+* minhash: shingle explode → one groupBy(doc, hash_i) min — shuffle
+  volume = docs × num_hashes, independent of shingle count; band join
+  groups by (band, key) so candidate generation never goes quadratic.
+* n-gram Jaccard: exact pairwise via shingle equi-join — correct but
+  O(pairs sharing a shingle); the documented scale path is
+  minhash_candidate_pairs as the pre-filter.
+
+Tokenization here is the SQL analyzer (lower + ``\\w+`` via JVM
+regexp_extract_all) — ASCII-equivalent to the Python analyzer on this
+corpus and exactly mirrorable in DuckDB; the BM25 path keeps the
+Python analyzer for Unicode parity (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+# deterministic LCG-derived MinHash parameters, shared verbatim with
+# the oracle SQL (built from the same constants)
+NUM_HASHES = 16
+BAND_ROWS = 4
+
+
+def _hash_params(n: int = NUM_HASHES) -> List[Tuple[int, int, int]]:
+    out = []
+    a, b = 1, 0
+    for i in range(n):
+        a = (1103515245 * a + 12345) % MERSENNE31
+        b = (1103515245 * b + 54321) % MERSENNE31
+        out.append((i, a or 1, b))
+    return out
+
+
+HASH_PARAMS = _hash_params()
+
+SQL_TOKENS = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """LF-normalized SHA-256 content groups (A2/F5): one row per
+    distinct content with dup_count and first-writer canonical id."""
+    h = F.sha2(F.regexp_replace(F.col("text"), "\r\n", "\n"), 256)
+    return (
+        docs.select(h.alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.expr(SQL_TOKENS)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select("doc_id", F.concat_ws(" ", *cols).alias("shingle"),
+                    F.lead("tok", n - 1).over(w).alias("_last"))
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def _shingle_int(col: str = "shingle"):
+    """First 15 hex chars of md5 → bigint (< 2^60), JVM-side; the
+    DuckDB oracle folds the same hex digits with shifts."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, i, minhash): MinHash signature rows.
+
+    h_i(x) = (a_i·x + b_i) mod (2^31−1) over 60-bit shingle ints;
+    a_i·x < 2^62 so no bigint overflow (ANSI-safe).
+    """
+    sh = shingles(docs, n).select(
+        "doc_id", (_shingle_int() % MERSENNE31).alias("x")
+    )
+    spark = docs.sparkSession
+    params = spark.createDataFrame(
+        HASH_PARAMS[:num_hashes], "i int, a long, b long"
+    )
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .select(
+            "doc_id",
+            "i",
+            ((F.col("a") * F.col("x") + F.col("b")) % MERSENNE31).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature.
+
+    Output (doc_a, doc_b), doc_a < doc_b, distinct.  Band keys are
+    conditional-aggregated per (doc, band) so no order-sensitive
+    collect_list is needed.
+    """
+    sig = minhash_signatures(docs, n, num_hashes)
+    band = sig.withColumn("band", (F.col("i") / F.lit(band_rows)).cast("int"))
+    slot_cols = [
+        F.max(
+            F.when(F.col("i") % band_rows == r, F.col("minhash"))
+        ).alias(f"s{r}")
+        for r in range(band_rows)
+    ]
+    keys = band.groupBy("doc_id", "band").agg(*slot_cols)
+    key = F.concat_ws(",", *[F.col(f"s{r}") for r in range(band_rows)])
+    keyed = keys.select("doc_id", "band", key.alias("band_key"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    (doc_a, doc_b, jaccard) — jaccard rounded to 6dp.  Exact-but-
+    quadratic-in-collisions; at scale run after minhash_candidate_pairs.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    j = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jac"),
+        )
+    )
+    return j.where(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): tf-weighted SimHash over unigram tokens.
+
+    Token → 60-bit md5 int; bit j votes ±tf; simhash = Σ (sum_j>0)<<j.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(SQL_TOKENS)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    hashed = tf.select(
+        "doc_id",
+        "tf",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("x"),
+    )
+    bitsdf = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        "tf",
+        "x",
+    ).select(
+        "doc_id",
+        "j",
+        # shiftright with a column bit-count needs the SQL form
+        (F.col("tf") * (F.expr("shiftright(x, j) % 2") * 2 - 1)).alias("vote"),
+    )
+    return (
+        bitsdf.groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("v"))
+        .select(
+            "doc_id",
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), j)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("simhash"))
+    )

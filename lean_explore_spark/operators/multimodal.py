@@ -1,0 +1,162 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+struct metadata; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` operators.  The actual codecs (PIL /
+ffmpeg) are NOT in this container, so the decode kernel is stubbed
+behind ``decode_image`` (raises NotImplementedError unless the
+deterministic fake is requested) — the Spark-side plumbing (schema,
+batch shape, partitioning, UDF signatures) is real and tested.
+
+Scale shape: media bytes never hit the driver; every operator is a
+narrow per-partition map (no shuffle), and feature vectors come out as
+``array<float>`` ready for operators.similarity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table: payload bytes are a pure
+    function of (seed, media_id); metadata is consistent with kind."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                payload = (h * 64)[: 1024 + (i % 7) * 256]
+                w = 32 + (i % 5) * 16 if kind != "audio" else None
+                hgt = 32 + (i % 3) * 16 if kind != "audio" else None
+                frames = 1 if kind == "image" else (16 + i % 9)
+                fmt = {"image": "png", "audio": "wav", "video": "mp4"}[kind]
+                rows.append((i, kind, payload, w, hgt, frames, fmt))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "payload",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "format",
+                ],
+            )
+
+    return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 array.
+
+    Real decoding needs an image codec (PIL/libjpeg) that is not in
+    this container — STUB (north-star plumbing is the Spark side).
+    ``fake=True`` returns a deterministic pseudo-image derived from the
+    payload hash so downstream operators are testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; "
+            "pass fake=True for the deterministic test kernel"
+        )
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.Generator(
+        np.random.Philox(
+            key=[int.from_bytes(h[:8], "big"), int.from_bytes(h[8:16], "big")]
+        )
+    )
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+FEATURE_DIM = 16
+
+
+def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """(media_id, feature: array<float>) via Arrow-batched mapInPandas.
+
+    Pipeline shape for a real deployment: decode → resize → embed in
+    the same batch iterator (one pass over payload bytes, executor-
+    side).  Feature here = per-channel means/stds of the (stubbed)
+    decode + payload length stats, L2-normalized.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, feats = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload), fake=fake_decode)
+                v = np.concatenate(
+                    [
+                        img.mean(axis=(0, 1)),
+                        img.std(axis=(0, 1)),
+                        np.histogram(img, bins=9, range=(0, 256))[0].astype(
+                            np.float64
+                        ),
+                        [float(len(payload))],
+                    ]
+                )
+                nrm = np.linalg.norm(v)
+                feats.append((v / nrm if nrm else v).astype(np.float32))
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, schema=out_schema)
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """(media_id, frame_idx): deterministic frame-sampling plan for
+    video rows — pure relational (sequence + explode), the decode of
+    each sampled frame would plug into image_features."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every)
+                )
+            ).alias("frame_idx"),
+        )
+    )

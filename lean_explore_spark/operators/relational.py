@@ -1,0 +1,140 @@
+"""Relational operator demos mapping SURVEY.md §2 inventory classes to
+idiomatic Spark plans over the TPC-H-ish test tables.
+
+Each function is one driver-contract query with a DuckDB oracle; the
+point is the PLAN SHAPE (broadcast joins for dims, partial aggregation,
+windows without extra shuffles), mirroring how the reference's
+hand-rolled lookups/joins/dedups (SURVEY.md §2.3-§2.6) become
+declarative Spark.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3 + A4: two broadcast dim joins then one partial-agg rollup.
+
+    customer ⨝ nation ⨝ region → per-region customer count + avg
+    balance.  nation/region are broadcast (no shuffle of customer).
+    """
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/O4: anti-join (the reference's stale-delete diff,
+    phase1_tasks.py:649+) — customers that placed no orders, per nation."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W1/W2: smallest-covering-span pick analog
+    (phase2_tasks.py:664-670) — top-2 orders per customer by price,
+    one window, no self-join."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+def shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: interval/containment join (the decl↔AST-span join,
+    phase2_tasks.py:640-670) — lineitems shipped within 30 days of
+    their order date, count per priority."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).where(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems")
+    )
+
+
+def acctbal_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: per-nation min-max normalization with the reference's
+    degenerate-range rule (local/search.py:687-753: zero range → 0.0)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey")
+    lo, hi = F.min("c_acctbal").over(w), F.max("c_acctbal").over(w)
+    norm = F.when(hi - lo > 0, (F.col("c_acctbal") - lo) / (hi - lo)).otherwise(
+        F.lit(0.0)
+    )
+    return c.select(
+        "c_custkey", "c_nationkey", F.round(norm, 6).alias("norm_acctbal")
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/A7 (TPC-H Q1 shape): wide partial-aggregated rollup —
+    every aggregate is map-side combined before the single shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2025-06-30"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-class on the events stream table: session = gap > 30 min per
+    user (lag + cumulative sum window), count sessions per user for
+    the first 200 users."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; epoch seconds via unix_timestamp on
+    # the UTC-pinned session (ANSI forbids a direct bigint cast)
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        e.where(F.col("user_id") < 200)
+        .withColumn("new_sess", new_sess)
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

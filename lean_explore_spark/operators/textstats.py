@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side column arithmetic (regexp / md5 / conv / aggregations) —
+no Python UDFs — so each operator whole-stage-codegens AND has an
+exactly mirrorable DuckDB oracle.  Scale shape: every operator is a
+narrow map or a single partial-aggregated groupBy(doc_id); nothing
+shuffles more than one row per (doc, token-class).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SQL_TOKENS = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+
+# tiny per-language stopword profiles (shared verbatim with the SQL
+# oracle, which is generated from these lists)
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "of", "and", "a", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "pour"],
+    "es": ["el", "la", "los", "de", "y", "es", "en", "un", "una", "por"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+
+BPE_ISH = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]"
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, hits): stopword-profile language ID.
+
+    Argmax of per-language stopword hit counts, ties and zero-hit docs
+    resolved to lang asc / 'und' — the n-gram-profile heuristic of the
+    classic langid tools reduced to an exact relational form.
+    """
+    spark = docs.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+        "lang string, tok string",
+    )
+    toks = docs.select("doc_id", F.explode(F.expr(SQL_TOKENS)).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(sw), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    scored = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stop_ratio, quality): length/punctuation/stopword heuristics
+    (the Gopher/C4-style quality-signal family), rounded 6dp."""
+    en_sw = STOPWORDS["en"]
+    toks = F.expr(SQL_TOKENS)
+    n_tokens = F.size(toks)
+    token_chars = F.expr(
+        "aggregate(" + SQL_TOKENS + ", 0, (acc, t) -> acc + length(t))"
+    )
+    stop_hits = F.expr(
+        "size(filter("
+        + SQL_TOKENS
+        + ", t -> t IN ("
+        + ",".join(f"'{w}'" for w in en_sw)
+        + ")))"
+    )
+    punct_chars = F.length(
+        F.regexp_replace(F.col("text"), "[A-Za-z0-9_\\s]", "")
+    )
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        token_chars.alias("_tc"),
+        stop_hits.alias("_sh"),
+        punct_chars.alias("_pc"),
+    )
+    mean_tok = F.when(
+        F.col("n_tokens") > 0, F.col("_tc") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("n_chars") > 0, F.col("_pc") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        F.col("n_tokens") > 0, F.col("_sh") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(1.0)
+        - punct_ratio
+        + F.lit(0.5) * stop_ratio
+        - F.when(F.col("n_tokens") < 10, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, word_tokens, bpe_ish_tokens): three token
+    counters — whitespace split, word regex, BPE-ish regex."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"filter(split(text, '\\s+'), t -> t <> '')")
+        ).cast("long").alias("ws_tokens"),
+        F.size(F.expr(SQL_TOKENS)).cast("long").alias("word_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{BPE_ISH}', 0)")
+        ).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, fp): rolling char-k-gram fingerprint — the minimum of
+    md5-derived 60-bit ints over every k-char window (winnowing with
+    window = whole doc).  Exactly mirrorable in SQL; at 10^12 docs the
+    same definition runs in a vectorized Arrow UDF instead."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+                f" i -> substring(text, i, {k}))"
+            )
+        ).alias("g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    return grams.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        F.min("h").alias("fp")
+    )
