@@ -257,22 +257,45 @@ class IndexBuilder:
             [StructField("shard", IntegerType())] + POSTINGS_SCHEMA.fields
         )
 
+        cols = [
+            "shard",
+            "term",
+            "bucket",
+            "df_shard",
+            "block_first",
+            "block_last",
+            "block_count",
+            "block_gap_bytes",
+            "block_tf_bytes",
+            "block_max_score",
+            "block_max_tf",
+            "payload",
+        ]
+
         def pack_stream(batches):
-            import numpy as np  # executor-side
-            import pandas as pd
+            # mapInArrow, not mapInPandas: converting 10^7 term strings
+            # to pandas objects dominated this stage; Arrow keeps the
+            # strings in C++ -- run boundaries come from pc.not_equal on
+            # sliced arrays, numerics are zero-copy numpy, and only ONE
+            # Python string materializes per (shard, term) run.
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
             cur_key = None  # (shard, term)
             cur_bucket = 0
-            bufs: List[pd.DataFrame] = []
+            bufs: List[tuple] = []  # (ids, tfs, dls) numpy slices
             out_rows: List[tuple] = []
 
             def flush():
                 if cur_key is None or not bufs:
                     return
-                run = pd.concat(bufs) if len(bufs) > 1 else bufs[0]
-                ids = run["doc_id"].to_numpy(np.int64)
-                tfs = run["tf"].to_numpy(np.int64)
-                dls = run["doc_len"].to_numpy(np.int64)
+                if len(bufs) > 1:
+                    ids = np.concatenate([b[0] for b in bufs])
+                    tfs = np.concatenate([b[1] for b in bufs])
+                    dls = np.concatenate([b[2] for b in bufs])
+                else:
+                    ids, tfs, dls = bufs[0]
                 p = codec.pack_postings(
                     ids, tfs, dls, avgdl=avgdl, block_size=block_size
                 )
@@ -293,52 +316,80 @@ class IndexBuilder:
                     )
                 )
 
-            cols = [
-                "shard",
-                "term",
-                "bucket",
-                "df_shard",
-                "block_first",
-                "block_last",
-                "block_count",
-                "block_gap_bytes",
-                "block_tf_bytes",
-                "block_max_score",
-                "block_max_tf",
-                "payload",
-            ]
+            def emit():
+                import pyarrow as pa
 
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                shards_arr = pdf["shard"].to_numpy()
-                terms_arr = pdf["term"].to_numpy()
-                # run boundaries: first row of each (shard, term) run
-                change = np.ones(len(pdf), dtype=bool)
-                change[1:] = (shards_arr[1:] != shards_arr[:-1]) | (
-                    terms_arr[1:] != terms_arr[:-1]
+                batch = pa.RecordBatch.from_pydict(
+                    dict(zip(cols, map(list, zip(*out_rows)))),
+                    schema=pa.schema(
+                        [
+                            pa.field("shard", pa.int32()),
+                            pa.field("term", pa.string()),
+                            pa.field("bucket", pa.int32()),
+                            pa.field("df_shard", pa.int64()),
+                            pa.field("block_first", pa.list_(pa.int64())),
+                            pa.field("block_last", pa.list_(pa.int64())),
+                            pa.field("block_count", pa.list_(pa.int32())),
+                            pa.field("block_gap_bytes", pa.list_(pa.int32())),
+                            pa.field("block_tf_bytes", pa.list_(pa.int32())),
+                            pa.field("block_max_score", pa.list_(pa.float64())),
+                            pa.field("block_max_tf", pa.list_(pa.int32())),
+                            pa.field("payload", pa.binary()),
+                        ]
+                    ),
                 )
+                out_rows.clear()
+                return batch
+
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                shard_np = rb.column("shard").to_numpy()
+                ids_np = rb.column("doc_id").to_numpy()
+                dls_np = rb.column("doc_len").to_numpy()
+                tfs_np = rb.column("tf").to_numpy()
+                bucket_np = rb.column("bucket").to_numpy()
+                terms = rb.column("term")
+                change = np.ones(n, dtype=bool)
+                if n > 1:
+                    neq = pc.not_equal(
+                        terms.slice(1), terms.slice(0, n - 1)
+                    ).to_numpy(zero_copy_only=False)
+                    change[1:] = neq | (shard_np[1:] != shard_np[:-1])
                 starts = np.flatnonzero(change)
-                ends = np.append(starts[1:], len(pdf))
+                ends = np.append(starts[1:], n)
                 for s, e in zip(starts, ends):
-                    key = (shards_arr[s], terms_arr[s])
+                    key = (int(shard_np[s]), terms[int(s)].as_py())
                     if key != cur_key:
                         flush()
                         bufs.clear()
                         cur_key = key
-                        cur_bucket = pdf["bucket"].iat[s]
-                    bufs.append(pdf.iloc[s:e])
+                        cur_bucket = int(bucket_np[s])
+                    bufs.append(
+                        (
+                            ids_np[s:e].astype(np.int64, copy=False),
+                            tfs_np[s:e].astype(np.int64, copy=False),
+                            dls_np[s:e].astype(np.int64, copy=False),
+                        )
+                    )
                 if out_rows:
-                    yield pd.DataFrame(out_rows, columns=cols)
-                    out_rows.clear()
+                    yield emit()
             flush()
             if out_rows:
-                yield pd.DataFrame(out_rows, columns=cols)
+                yield emit()
 
+        # explicit partition count: without it AQE coalesces this
+        # shuffle toward 64MB partitions, capping pack parallelism well
+        # below the core count (observed 2x loss at local[32])
+        n_part = max(
+            spark.sparkContext.defaultParallelism * 2,
+            min(len(shards) * num_buckets, 512),
+        )
         packed = (
-            exploded.repartition("shard", "bucket")
+            exploded.repartition(n_part, "shard", "bucket")
             .sortWithinPartitions("shard", "bucket", "term", "doc_id")
-            .mapInPandas(pack_stream, schema=pack_schema)
+            .mapInArrow(pack_stream, schema=pack_schema)
         )
         (
             packed.write.partitionBy("shard", "bucket")

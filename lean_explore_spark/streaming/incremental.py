@@ -1,0 +1,228 @@
+"""Incremental indexing via Structured Streaming.
+
+The reference is batch-only; its incremental behavior is batch
+re-sync — upsert + stale-delete (phase1_tasks.py:195-265, :649+) and
+cross-version carry-over (merge_db.py:104-139) — which SURVEY.md §2.10
+maps to checkpointed re-runs.  This module adds the genuinely
+streaming path a web-scale ingest needs: a file-source stream of new
+pages drains through ``foreachBatch`` into per-batch DELTA SEGMENTS
+(same packed-postings format as the main index, one segment dir per
+micro-batch), with Spark's checkpoint giving exactly-once segment
+commits.  A compaction job folds segments back into the base index by
+rebuilding from the union of forward indexes (BM25's global stats —
+N, avgdl, df — shift with every batch, so merged segments must be
+re-scored anyway; rebuilding from the staged forward index costs one
+pack pass, no re-tokenization).
+
+Segment layout:
+
+    root/
+      base/            # a normal IndexBuilder output (optional)
+      segments/seg=<epoch_id>/   # IndexBuilder output per micro-batch
+      checkpoint/      # Spark streaming checkpoint (exactly-once)
+
+Query-time: ``SegmentedSearch`` unions base+segment doc universes and
+rebuilds exact global stats from their stats.json files, then runs
+WAND per segment with the GLOBAL stats (idf/avgdl from the union), so
+results are rank-identical to a from-scratch index over the same docs
+— asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from lean_explore_spark.index import codec
+from lean_explore_spark.index.builder import IndexBuilder
+from lean_explore_spark.query import wand
+from lean_explore_spark.query.search import SearchEngine, _row_to_packed
+
+
+def start_incremental_indexing(
+    spark: SparkSession,
+    pages_stream_dir: str,
+    index_root: str,
+    *,
+    stem: bool = True,
+    num_shards: int = 2,
+    num_buckets: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Stream parquet page files → per-batch segment indexes.
+
+    Returns the StreamingQuery; callers await termination.  Schema is
+    taken from the existing files in ``pages_stream_dir``.
+    """
+    root = Path(index_root)
+    (root / "segments").mkdir(parents=True, exist_ok=True)
+
+    static = spark.read.parquet(pages_stream_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_stream_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg_dir = root / "segments" / f"seg={epoch_id}"
+        IndexBuilder(
+            spark,
+            str(seg_dir),
+            stem=stem,
+            num_shards=num_shards,
+            num_buckets=num_buckets,
+        ).build(batch_df.select("doc_id", "text"), resume=False)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(root / "checkpoint"))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class SegmentedSearch:
+    """Exact top-k over base + streamed segments with global stats.
+
+    Each segment keeps its own packed postings; idf/avgdl/N are
+    recomputed over the union (Σ doc counts, Σ token counts, df summed
+    from the per-segment dictionaries), so scores equal a monolithic
+    rebuild.  Compaction (fold segments into base) is then purely an
+    I/O optimization, not a correctness event.
+    """
+
+    def __init__(self, spark: SparkSession, index_root: str) -> None:
+        self.spark = spark
+        root = Path(index_root)
+        seg_dirs = sorted((root / "segments").glob("seg=*"))
+        if (root / "base" / "stats.json").exists():
+            seg_dirs = [root / "base"] + seg_dirs
+        self.engines: List[SearchEngine] = [
+            SearchEngine(spark, str(d), preload=True) for d in seg_dirs
+        ]
+        if not self.engines:
+            raise ValueError(f"no segments under {index_root}")
+        self.n_docs = sum(e.n_docs for e in self.engines)
+        total_tokens = sum(e.stats["total_tokens"] for e in self.engines)
+        self.avgdl = total_tokens / self.n_docs if self.n_docs else 0.0
+        self.stem = self.engines[0].stem
+
+    def search(self, query: str, k: int = 50) -> List[Tuple[int, float]]:
+        import math
+
+        tokens = self.engines[0].analyze_query(query)
+        k = min(k, self.n_docs)
+        if k <= 0 or not tokens:
+            # delta-floor degenerate path: all docs score equal
+            ids = np.sort(
+                np.concatenate([e._all_doc_ids() for e in self.engines])
+            )
+            return [(int(d), 0.0) for d in ids[:k]]
+
+        uniq = sorted(set(tokens))
+        dfs: dict = {}
+        for e in self.engines:
+            for t, d in e._lookup_dfs(uniq).items():
+                dfs[t] = dfs.get(t, 0) + d
+        live = [t for t in tokens if t in dfs]
+        uterms: List[str] = []
+        uindex: dict = {}
+        for t in live:
+            if t not in uindex:
+                uindex[t] = len(uterms)
+                uterms.append(t)
+        idfs = np.array(
+            [math.log(self.n_docs + 1) - math.log(dfs[t]) for t in uterms],
+            dtype=np.float64,
+        )
+        ctx = wand.QueryContext(
+            token_uterm=[uindex[t] for t in live],
+            idfs=idfs,
+            k1=codec.K1,
+            b=codec.B,
+            delta=1.0,
+            avgdl=self.avgdl,
+        )
+        heap: list = []
+        for e in self.engines:
+            by_shard = e._fetch_postings(uterms) if uterms else {}
+            for shard in sorted(by_shard):
+                dl_ids, dl_lens = e._doc_lens(shard)
+                cursors = [
+                    wand.TermCursor(_row_to_packed(r), uindex[t])
+                    for t, r in by_shard[shard]
+                ]
+                wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+        matched = {e[2] for e in heap}
+
+        def unmatched_iter():
+            ids = np.sort(
+                np.concatenate(
+                    [e._all_doc_ids() for e in self.engines]
+                )
+            )
+            for d in ids:
+                d = int(d)
+                if d not in matched:
+                    yield d
+
+        return wand.finalize_topk(heap, ctx, k, unmatched_iter())
+
+
+def compact(spark: SparkSession, index_root: str, out_dir: str, **kw) -> dict:
+    """Fold base+segments into a fresh monolithic index (one pack pass
+    over the union of forward indexes; no re-tokenization)."""
+    from functools import reduce
+
+    root = Path(index_root)
+    parts = sorted(str(p / "forward") for p in (root / "segments").glob("seg=*"))
+    if (root / "base" / "forward").exists():
+        parts = [str(root / "base" / "forward")] + parts
+    # per-root reads + union: the partition (shard=) dirs of different
+    # segments would otherwise raise CONFLICTING_DIRECTORY_STRUCTURES
+    staged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(p).select("doc_id", "doc_len", "tf_map")
+            for p in parts
+        ],
+    )
+    builder = IndexBuilder(spark, out_dir, **kw)
+    # reuse the already-analyzed forward index as the "docs" by writing
+    # it straight into staging, then run the normal pack+dict stages
+    import shutil
+
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    import math as _math
+
+    import pyspark.sql.functions as F
+
+    bounds = staged.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("m")
+    ).collect()[0]
+    span = max(1, _math.ceil((int(bounds["m"]) + 1) / builder.num_shards))
+    (
+        staged.withColumn(
+            "shard", F.floor(F.col("doc_id") / F.lit(span)).cast("int")
+        )
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(str(builder.paths.staging))
+    )
+    (builder.paths.staging / "_STAGING_DONE.json").write_text(
+        json.dumps(
+            {"n_docs": int(bounds["n"]), "max_doc_id": int(bounds["m"]), "span": span}
+        )
+    )
+    return builder.build(staged.sparkSession.createDataFrame([], "doc_id long, text string"), resume=True)

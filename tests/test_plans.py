@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the optimizations the 100 TB story relies
+on must actually appear in the plan (SURVEY.md §4 R1-R4) — partition
+pruning + predicate pushdown on the postings read, broadcast joins for
+dim lookups, column pruning on wide scans, whole-stage codegen."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from lean_explore_spark.index.builder import IndexBuilder, term_bucket
+from lean_explore_spark.operators import relational as R
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("planidx") / "idx"
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    IndexBuilder(spark, str(out), num_shards=4, num_buckets=8).build(
+        docs, resume=False
+    )
+    return str(out)
+
+
+def test_postings_read_prunes_partitions_and_pushes_terms(spark, index_dir):
+    term = "group"
+    bucket = term_bucket(term, 8)
+    df = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket") == bucket)
+        .where(F.col("term") == term)
+        .select("term", "df_shard")
+    )
+    plan = plan_of(df)
+    # bucket is a partition directory → partition filter, not data filter
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # term predicate reaches the parquet reader (row-group min/max cut,
+    # postings are term-sorted within each bucket at build time)
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,group)" in plan.replace(" ", "").replace("'", "")
+    # payload column pruned away
+    assert "payload" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(R.region_rollup(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_shape(spark):
+    plan = plan_of(R.customers_without_orders(spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+
+
+def test_pricing_summary_pushdown_and_codegen(spark):
+    df = R.pricing_summary(spark, SF_ORACLE)
+    plan = plan_of(df)
+    # shipdate predicate pushed to the scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # only needed columns read (no orderkey/partkey/suppkey in schema)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" in read_schema
+    # AQE hides codegen spans pre-execution (isFinalPlan=false);
+    # codegen mode generates the actual stages
+    plan_codegen = plan_of(df, mode="codegen")
+    assert "WholeStageCodegen" in plan_codegen
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # TPC-H Q1 shape: HashAggregate appears twice (partial + final)
+    plan = plan_of(R.pricing_summary(spark, SF_ORACLE), mode="simple")
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,88 @@
+"""Structured-Streaming incremental indexing: segments stream in via
+foreachBatch, segmented search is rank-identical to a monolithic
+rebuild, compaction preserves results, restart is exactly-once."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pytest
+
+from lean_explore_spark.functions.tokenizer import tokenize_stem
+from lean_explore_spark.index.builder import IndexBuilder
+from lean_explore_spark.oracle import bm25 as oracle
+from lean_explore_spark.query.search import SearchEngine
+from lean_explore_spark.sources import pages as P
+from lean_explore_spark.streaming import incremental as I
+
+QUERIES = ["the data page", "compress encode block", "theorem definition group"]
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    pages_dir = base / "pages"
+    docs = P.assign_doc_ids(
+        P.extract_text(P.generate_pages(spark, 400, partitions=4))
+    ).select("doc_id", P.F.col("extracted_text").alias("text"))
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    docs.repartition(8).write.mode("overwrite").parquet(str(pages_dir))
+
+    index_root = base / "idx"
+    q = I.start_incremental_indexing(
+        spark, str(pages_dir), str(index_root), num_shards=2, num_buckets=4
+    )
+    q.awaitTermination(300)
+    return str(pages_dir), str(index_root), docs
+
+
+def test_segments_created(spark, streamed):
+    _, index_root, _ = streamed
+    segs = sorted(Path(index_root, "segments").glob("seg=*"))
+    assert len(segs) >= 2  # multiple micro-batches
+    for s in segs:
+        assert (s / "stats.json").exists()
+
+
+def test_segmented_search_rank_identical_to_monolithic(spark, streamed, tmp_path):
+    pages_dir, index_root, docs = streamed
+    seg = I.SegmentedSearch(spark, index_root)
+
+    mono_dir = tmp_path / "mono"
+    IndexBuilder(spark, str(mono_dir), num_shards=2, num_buckets=4).build(
+        spark.read.parquet(pages_dir), resume=False
+    )
+    mono = SearchEngine(spark, str(mono_dir), preload=True)
+
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    stats = oracle.build_stats(
+        [r["doc_id"] for r in rows], (tokenize_stem(r["text"]) for r in rows)
+    )
+    for q in QUERIES:
+        toks = tokenize_stem(q)
+        want = [(d, s) for d, s in oracle.top_k(stats, toks, 15)]
+        assert mono.search_tokens(toks, 15) == want, f"mono {q!r}"
+        assert seg.search(q, 15) == want, f"segmented {q!r}"
+
+
+def test_compaction_preserves_results(spark, streamed, tmp_path):
+    pages_dir, index_root, docs = streamed
+    out = tmp_path / "compacted"
+    I.compact(spark, index_root, str(out), num_shards=2, num_buckets=4)
+    eng = SearchEngine(spark, str(out), preload=True)
+    seg = I.SegmentedSearch(spark, index_root)
+    for q in QUERIES:
+        assert eng.search(q, 15) == seg.search(q, 15), q
+
+
+def test_restart_is_exactly_once(spark, streamed):
+    pages_dir, index_root, _ = streamed
+    before = sorted(Path(index_root, "segments").glob("seg=*"))
+    # restart with the same checkpoint: no new input → no new segments
+    q = I.start_incremental_indexing(
+        spark, pages_dir, index_root, num_shards=2, num_buckets=4
+    )
+    q.awaitTermination(120)
+    after = sorted(Path(index_root, "segments").glob("seg=*"))
+    assert before == after
