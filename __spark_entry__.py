@@ -42,6 +42,7 @@ from lean_explore_spark.functions.tokenizer import tokenize, tokenize_stem  # no
 from lean_explore_spark.operators import analyze as A  # noqa: E402
 from lean_explore_spark.operators import dedup as D  # noqa: E402
 from lean_explore_spark.operators import graph as G  # noqa: E402
+from lean_explore_spark.operators import merge_ops as MG  # noqa: E402
 from lean_explore_spark.operators import multimodal as M  # noqa: E402
 from lean_explore_spark.operators import relational as R  # noqa: E402
 from lean_explore_spark.operators import similarity as S  # noqa: E402
@@ -121,6 +122,34 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: carry descriptions from a simulated previous snapshot (every
+    third doc) onto the current corpus by content key."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark, sf_dir)
+    prev = docs.where(F.col("doc_id") % 3 == 0).select(
+        "text", F.concat(F.lit("desc-"), F.col("doc_id")).alias("description")
+    )
+    merged = MG.carry_over(docs.select("doc_id", "text"), prev, ["description"])
+    # no NULLs in contract outputs: null-representation differs across
+    # engines/arrow/pandas and would poison the driver's value hash
+    return merged.select(
+        "doc_id", F.coalesce("description", F.lit("")).alias("description")
+    )
+
+
+def q_stale_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: stale set = existing − incoming (incoming drops doc_id%5==0)."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark, sf_dir)
+    incoming = docs.where(F.col("doc_id") % 5 != 0)
+    return MG.stale_rows(
+        docs.select("doc_id", "lang"), incoming, "doc_id"
+    )
+
+
 # --------------------------------------------------------------------
 # queries registry
 # --------------------------------------------------------------------
@@ -157,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_minmax_norm": R.acctbal_minmax_norm,
         "pricing_summary": R.pricing_summary,
         "event_sessionization": R.event_sessionization,
+        # snapshot merge / upsert (J7/J8)
+        "snapshot_merge": q_snapshot_merge,
+        "stale_docs": q_stale_docs,
         # iterative / multimodal (rows-only checks — no SQL oracle)
         "pagerank_supplier_part": G.supplier_part_pagerank,
         "image_features": lambda s, d: M.image_features(
@@ -571,6 +603,26 @@ FROM e GROUP BY user_id
 """
 
 
+_SNAPSHOT_MERGE_SQL = """
+WITH prev AS (
+  SELECT sha256(regexp_replace(text, '\\r\\n', chr(10), 'g')) AS k,
+         min('desc-' || doc_id) AS description
+  FROM documents WHERE doc_id % 3 = 0
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(prev.description, '') AS description
+FROM documents d
+LEFT JOIN prev
+  ON sha256(regexp_replace(d.text, '\\r\\n', chr(10), 'g')) = prev.k
+"""
+
+_STALE_SQL = """
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id % 5 = 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokens_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM tf",
@@ -606,6 +658,8 @@ def oracle_sql() -> dict[str, str]:
         "acctbal_minmax_norm": _MINMAX_SQL,
         "pricing_summary": _PRICING_SQL,
         "event_sessionization": _SESSIONS_SQL,
+        "snapshot_merge": _SNAPSHOT_MERGE_SQL,
+        "stale_docs": _STALE_SQL,
         # pagerank_supplier_part, image_features, video_frame_sample:
         # intentionally absent → driver records rows-only checks
     }

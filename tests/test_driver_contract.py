@@ -15,7 +15,12 @@ from tests.conftest import SF_ORACLE
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf[sorted(pdf.columns)].copy()
+    # unify null representations (None / NaN / pd.NA) across engines
+    for col in pdf.columns:
+        if pdf[col].dtype == object or str(pdf[col].dtype).startswith("string"):
+            pdf[col] = pdf[col].astype(object)
+            pdf[col] = pdf[col].where(pd.notna(pdf[col]), "\x00NULL")
     pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
     return pdf
 
