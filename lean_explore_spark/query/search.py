@@ -157,12 +157,8 @@ class SearchEngine:
         tokens = self.analyze_query(query)
         return self.search_tokens(tokens, k)
 
-    def search_tokens(
-        self, tokens: Sequence[str], k: int = 50
-    ) -> List[Tuple[int, float]]:
-        k = min(k, self.n_docs)
-        if k <= 0:
-            return []
+    def _build_ctx(self, tokens: Sequence[str]):
+        """Shared query planning: df lookup → idf/C constants → ctx."""
         dfs = self._lookup_dfs(sorted(set(tokens))) if tokens else {}
         # absent terms contribute nothing at all (oracle: idf.get or 0)
         live_tokens = [t for t in tokens if t in dfs]
@@ -186,6 +182,26 @@ class SearchEngine:
             delta=1.0,
             avgdl=self.avgdl,
         )
+        return ctx, uterms, uindex
+
+    def _finalize(self, heap, ctx, k) -> List[Tuple[int, float]]:
+        matched_ids = {e[2] for e in heap}
+
+        def unmatched_iter():
+            for d in self._all_doc_ids():
+                d = int(d)
+                if d not in matched_ids:
+                    yield d
+
+        return wand.finalize_topk(heap, ctx, k, unmatched_iter())
+
+    def search_tokens(
+        self, tokens: Sequence[str], k: int = 50
+    ) -> List[Tuple[int, float]]:
+        k = min(k, self.n_docs)
+        if k <= 0:
+            return []
+        ctx, uterms, uindex = self._build_ctx(tokens)
 
         heap: List[Tuple[float, int, int]] = []
         if uterms:
@@ -198,12 +214,87 @@ class SearchEngine:
                 ]
                 wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
 
-        matched_ids = {e[2] for e in heap}
+        return self._finalize(heap, ctx, k)
 
-        def unmatched_iter():
-            for d in self._all_doc_ids():
-                d = int(d)
-                if d not in matched_ids:
-                    yield d
+    # -- distributed serving ----------------------------------------------
 
-        return wand.finalize_topk(heap, ctx, k, unmatched_iter())
+    def search_distributed(self, query: str, k: int = 50) -> List[Tuple[int, float]]:
+        return self.search_tokens_distributed(self.analyze_query(query), k)
+
+    def search_tokens_distributed(
+        self, tokens: Sequence[str], k: int = 50
+    ) -> List[Tuple[int, float]]:
+        """Cluster-scale serving: one Spark task per doc-shard runs the
+        same block-max WAND over its pruned postings slice + its
+        span-bounded doc-length file, emits a local top-k, and the
+        driver merges k·S candidate rows.
+
+        Exactness: each shard's local top-k is a superset of that
+        shard's contribution to the global top-k (per-shard θ is only
+        lower than a global θ would be → never over-prunes); the merge
+        re-sorts by (score desc, doc_id asc).  If any shard returns
+        fewer than k rows it scored ALL its matched docs, so the
+        delta-floor fill sees the complete matched set.
+        """
+        from lean_explore_spark.pyfiles import ensure_py_files
+
+        k = min(k, self.n_docs)
+        if k <= 0:
+            return []
+        ctx, uterms, uindex = self._build_ctx(tokens)
+        heap: List[Tuple[float, int, int]] = []
+        if uterms:
+            ensure_py_files(self.spark)
+            buckets = sorted({term_bucket(t, self.num_buckets) for t in uterms})
+            postings = (
+                self.spark.read.schema(POSTINGS_SCHEMA)
+                .parquet(str(self.root / "postings"))
+                .where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(list(uterms)))
+            )
+            doc_stats_root = str(self.root / "doc_stats")
+            uindex_b = dict(uindex)
+            ctx_b = ctx
+            kk = k
+
+            def score_shard(key, pdf):
+                import pandas as pd
+                import pyarrow.parquet as pq
+
+                from lean_explore_spark.query import search as S
+                from lean_explore_spark.query import wand as W
+
+                shard = int(key[0])
+                tbl = pq.read_table(
+                    f"{doc_stats_root}/shard={shard}", columns=["doc_id", "doc_len"]
+                )
+                dl_ids = tbl.column("doc_id").to_numpy()
+                order = dl_ids.argsort()
+                dl_ids = dl_ids[order]
+                dl_lens = tbl.column("doc_len").to_numpy()[order]
+                local_heap: list = []
+                cursors = [
+                    W.TermCursor(S._row_to_packed(r), uindex_b[r["term"]])
+                    for _, r in pdf.iterrows()
+                ]
+                W.wand_shard(cursors, ctx_b, dl_ids, dl_lens, local_heap, kk)
+                return pd.DataFrame(
+                    {
+                        "doc_id": [e[2] for e in local_heap],
+                        "score": [e[0] for e in local_heap],
+                        "n_matched": [len(local_heap)] * len(local_heap),
+                    }
+                )
+
+            rows = (
+                postings.groupBy("shard")
+                .applyInPandas(
+                    score_shard,
+                    schema="doc_id long, score double, n_matched int",
+                )
+                .collect()
+            )
+            heap = [(r["score"], -r["doc_id"], r["doc_id"]) for r in rows]
+            heap.sort(reverse=True)
+            heap = heap[:k][::-1]  # keep k best, min-heap order unneeded
+        return self._finalize(heap, ctx, k)

@@ -1,0 +1,180 @@
+"""Full hybrid search service — reference entry point A parity.
+
+Mirrors ``perform_search`` (src/lean_explore/local/search.py:340-791;
+service wrapper local/service.py:293-341) stage for stage:
+
+1. embed query (pluggable; the real SentenceTransformer is out of
+   scope — G3 in SURVEY.md §2.8 — so the default embedder is a
+   deterministic stub mapping the query into the corpus embedding
+   space);
+2. candidate generation: cosine top-``faiss_k`` over the embeddings
+   table (brute force here; operators.similarity.ann_topk_lsh is the
+   IVF/LSH analog), ×3 oversampling when a filter is active
+   (reference defaults.py:101-103);
+3. similarity threshold ≥ 0.525 (defaults.py:106);
+4. doc fetch + filter (lang filter = the reference's package-prefix
+   filter, search.py:541-551);
+5. BM25Plus lexical scores — full-corpus statistics via the packed
+   index (the §2.9 semantic pin), not per-candidate-set;
+6. min-max normalize 3 signals + weighted combine
+   (query/hybrid.py, exact reference semantics);
+7. sort (final desc, doc_id asc), limit (defaults limit 50).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lean_explore_spark.query import hybrid
+from lean_explore_spark.query.search import SearchEngine
+
+DEFAULT_FAISS_K = 100
+DEFAULT_SIM_THRESHOLD = 0.525
+DEFAULT_LIMIT = 50
+OVERSAMPLE = 3
+
+
+@dataclass
+class SearchResult:
+    doc_id: int
+    final_score: float
+    raw_similarity: float
+    norm_similarity: float
+    pagerank: float
+    norm_pagerank: float
+    raw_bm25: float
+    norm_bm25: float
+
+
+def stub_embedder(dim: int):
+    """Deterministic query embedder (G3 stand-in): md5-seeded Philox
+    unit vector — stable across processes and partitionings."""
+
+    def embed(query: str) -> np.ndarray:
+        h = hashlib.md5(query.encode("utf-8")).digest()
+        rng = np.random.Generator(
+            np.random.Philox(
+                key=[int.from_bytes(h[:8], "big"), int.from_bytes(h[8:], "big")]
+            )
+        )
+        v = rng.normal(size=dim)
+        return (v / np.linalg.norm(v)).astype(np.float64)
+
+    return embed
+
+
+class SearchService:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        embeddings: DataFrame,
+        doc_meta: Optional[DataFrame] = None,
+        pagerank: Optional[Dict[int, float]] = None,
+        embedder: Optional[Callable[[str], np.ndarray]] = None,
+        w_semantic: float = hybrid.DEFAULT_W_SEMANTIC,
+        w_pagerank: float = hybrid.DEFAULT_W_PAGERANK,
+        w_bm25: float = hybrid.DEFAULT_W_BM25,
+    ) -> None:
+        self.engine = SearchEngine(spark, index_dir, preload=True)
+        rows = embeddings.select("vec_id", "embedding").collect()
+        self._emb_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        self._emb = np.array(
+            [r["embedding"] for r in rows], dtype=np.float64
+        )
+        self._emb_norm = self._emb / np.linalg.norm(
+            self._emb, axis=1, keepdims=True
+        )
+        self._lang: Dict[int, str] = {}
+        if doc_meta is not None:
+            for r in doc_meta.select("doc_id", "lang").collect():
+                self._lang[int(r["doc_id"])] = r["lang"]
+        self.pagerank = pagerank or {}
+        self.embed = embedder or stub_embedder(self._emb.shape[1])
+        self.weights = (w_semantic, w_pagerank, w_bm25)
+
+    # -- stages -----------------------------------------------------------
+
+    def _candidates(
+        self, qvec: np.ndarray, faiss_k: int, oversample: bool
+    ) -> List[tuple]:
+        k = faiss_k * (OVERSAMPLE if oversample else 1)
+        sims = self._emb_norm @ (qvec / np.linalg.norm(qvec))
+        order = np.lexsort((self._emb_ids, -sims))[:k]
+        return [(int(self._emb_ids[i]), float(sims[i])) for i in order]
+
+    def search(
+        self,
+        query: str,
+        limit: int = DEFAULT_LIMIT,
+        lang_filter: Optional[Sequence[str]] = None,
+        faiss_k: int = DEFAULT_FAISS_K,
+        sim_threshold: float = DEFAULT_SIM_THRESHOLD,
+        log_path: Optional[str] = None,
+    ) -> List[SearchResult]:
+        import time as _time
+
+        t0 = _time.time()
+
+        def _log(status: str, n: int):
+            if log_path:
+                from lean_explore_spark.query.perf_log import log_search_event
+
+                log_search_event(
+                    log_path, status, (_time.time() - t0) * 1000, n, query
+                )
+
+        if not query or not query.strip():
+            _log("EMPTY_QUERY", 0)  # reference early-return (search.py:360-367)
+            return []
+        qvec = self.embed(query)
+        cands = self._candidates(qvec, faiss_k, oversample=bool(lang_filter))
+        cands = [(d, s) for d, s in cands if s >= sim_threshold]
+        if lang_filter:
+            allowed = set(lang_filter)
+            cands = [
+                (d, s) for d, s in cands if self._lang.get(d) in allowed
+            ][: faiss_k]
+        if not cands:
+            _log("NO_CANDIDATES_POST_THRESHOLD", 0)
+            return []
+
+        tokens = self.engine.analyze_query(query)
+        # full-corpus BM25 (the §2.9 pin); clamp negatives like the
+        # reference (search.py:676-678) — BM25Plus is non-negative
+        # anyway, the clamp is belt-and-braces
+        bm25_all = dict(self.engine.search_tokens(tokens, self.engine.n_docs))
+        doc_ids = [d for d, _ in cands]
+        sims = [s for _, s in cands]
+        prs = [float(self.pagerank.get(d, 0.0)) for d in doc_ids]
+        bms = [max(0.0, bm25_all.get(d, 0.0)) for d in doc_ids]
+
+        combined = hybrid.combine(
+            sims, prs, bms,
+            w_semantic=self.weights[0],
+            w_pagerank=self.weights[1],
+            w_bm25=self.weights[2],
+        )
+        results = [
+            SearchResult(
+                doc_id=d,
+                final_score=c.final_score,
+                raw_similarity=s,
+                norm_similarity=c.norm_similarity,
+                pagerank=p,
+                norm_pagerank=c.norm_pagerank,
+                raw_bm25=b,
+                norm_bm25=c.norm_bm25,
+            )
+            for d, s, p, b, c in zip(doc_ids, sims, prs, bms, combined)
+        ]
+        results.sort(key=lambda r: (-r.final_score, r.doc_id))
+        out = results[:limit]
+        _log("SUCCESS", len(out))
+        return out

@@ -1,0 +1,80 @@
+"""Hot-term skew + pathological-corpus robustness (SURVEY.md §7 risk
+register: groupBy-key skew, Zipf distribution; empty/degenerate docs)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lean_explore_spark.functions.tokenizer import tokenize_stem
+from lean_explore_spark.index.builder import IndexBuilder
+from lean_explore_spark.oracle import bm25 as oracle
+from lean_explore_spark.query.search import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark, tmp_path_factory):
+    # one ultra-hot term in EVERY doc + a Zipf-ish tail; some empty and
+    # punctuation-only docs
+    rows = []
+    for i in range(2000):
+        if i % 97 == 0:
+            rows.append((i, ""))
+        elif i % 89 == 0:
+            rows.append((i, "!!! ... ???"))
+        else:
+            tail = " ".join(f"w{j}" for j in range(i % 7))
+            rows.append((i, ("the " * (1 + i % 5)) + tail))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tmp_path_factory.mktemp("skew") / "idx"
+    IndexBuilder(spark, str(out), num_shards=8, num_buckets=4).build(
+        docs, resume=False
+    )
+    return str(out), rows
+
+
+def test_hot_term_groups_bounded_by_span(spark, skewed_index):
+    index_dir, _ = skewed_index
+    span = json.loads(open(f"{index_dir}/stats.json").read())["span"]
+    rows = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .select("term", "shard", "df_shard")
+        .collect()
+    )
+    hot = [r for r in rows if r["term"] == "the"]
+    assert len(hot) == 8, "hot term must be split across all shards"
+    for r in rows:
+        assert r["df_shard"] <= span, (
+            f"group ({r['term']}, shard {r['shard']}) exceeds span"
+        )
+
+
+def test_skewed_corpus_rank_identity(spark, skewed_index):
+    index_dir, rows = skewed_index
+    engine = SearchEngine(spark, index_dir, preload=True)
+    stats = oracle.build_stats(
+        [r[0] for r in rows], (tokenize_stem(r[1]) for r in rows)
+    )
+    for q in ["the", "the w1 w2", "w5", "", "absentterm the"]:
+        toks = tokenize_stem(q)
+        got = engine.search_tokens(toks, 30)
+        want = [(d, s) for d, s in oracle.top_k(stats, toks, 30)]
+        assert got == want, f"query {q!r}"
+
+
+def test_perf_log_sink(spark, skewed_index, tmp_path):
+    from lean_explore_spark.query.service import SearchService
+
+    index_dir, _ = skewed_index
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    svc = SearchService(spark, index_dir, emb)
+    log = tmp_path / "perf.jsonl"
+    svc.search("the w1", log_path=str(log), sim_threshold=-1.0)
+    svc.search("", log_path=str(log))
+    events = [json.loads(ln) for ln in log.read_text().splitlines()]
+    assert [e["status"] for e in events] == ["SUCCESS", "EMPTY_QUERY"]
+    assert all("duration_ms" in e and "timestamp" in e for e in events)
