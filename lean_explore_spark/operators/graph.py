@@ -112,6 +112,48 @@ def scaled_pagerank(ranks: DataFrame) -> DataFrame:
     )
 
 
+def topological_levels(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
+    """Kahn's algorithm as iterative frontier joins (reference G2,
+    scripts/lean_to_english.py:272-371: topological processing order
+    with cycle fallback).
+
+    Returns (node, level): level = longest-path depth from any source.
+    Nodes left after ``max_iter`` or stuck in cycles get level -1 (the
+    reference's cycle fallback processes them last).
+    """
+    edges = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    remaining_edges = edges
+    remaining_nodes = nodes.cache()
+    out: DataFrame | None = None
+    level = 0
+    while level < max_iter:
+        with_in = remaining_edges.select(F.col("dst").alias("node")).distinct()
+        frontier = remaining_nodes.join(with_in, "node", "left_anti").cache()
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break  # only cycles remain
+        out_lvl = frontier.withColumn("level", F.lit(level))
+        out = out_lvl if out is None else out.unionByName(out_lvl)
+        remaining_nodes = remaining_nodes.join(
+            frontier, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        remaining_edges = remaining_edges.join(
+            frontier.withColumnRenamed("node", "src"), "src", "left_anti"
+        ).localCheckpoint(eager=True)
+        if remaining_nodes.isEmpty():
+            break
+        level += 1
+    cyclic = remaining_nodes.withColumn("level", F.lit(-1))
+    if out is None:
+        return cyclic
+    return out.unionByName(cyclic)
+
+
 def supplier_part_pagerank(spark, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: PageRank over the supplier→part graph
     derived from lineitem (bipartite; parts offset to a disjoint id

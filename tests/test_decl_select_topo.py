@@ -1,0 +1,91 @@
+"""F12 primary-declaration chooser (differential vs the reference) and
+G2 topological levels."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from types import SimpleNamespace
+
+import pytest
+
+from lean_explore_spark.functions import decl_select as DS
+from lean_explore_spark.operators import graph as G
+from tests.test_lean_text import _ref_modules
+
+P2, P3 = _ref_modules()
+
+
+def test_is_internal_name():
+    assert DS.is_internal_name("Lean.Meta.whnf")
+    assert DS.is_internal_name("Init.Core.foo")
+    assert DS.is_internal_name("Nat.below")
+    assert DS.is_internal_name("Foo.rec")
+    assert DS.is_internal_name("Foo.bar._proof_3")
+    assert DS.is_internal_name("Foo.eq_12")
+    assert not DS.is_internal_name("Nat.add_comm")
+    assert not DS.is_internal_name("eq_12")  # single component
+    assert not DS.is_internal_name("Foo.eq_abc")
+
+
+NAMES = [
+    "Nat.add",
+    "Nat.add_comm",
+    "Nat.add_comm.aux",
+    "List.map",
+    "VeryLongModule.Name.deep",
+    "Short",
+]
+TYPES = ["def", "theorem", "lemma", "instance", "unknown_type"]
+TEXTS = [
+    "theorem Nat.add_comm : a + b = b + a",
+    "uses add_comm and map in the proof",
+    "nothing matches here",
+    "Short and Nat.add both appear",
+    "",
+]
+
+
+@pytest.mark.skipif(P3 is None, reason="reference not importable")
+def test_choose_primary_differential():
+    rng = random.Random(7)
+    for trial in range(300):
+        n = rng.randint(1, 5)
+        decls_ours = []
+        decls_ref = []
+        for i in range(n):
+            name = rng.choice(NAMES)
+            dtype = rng.choice(TYPES)
+            internal = rng.random() < 0.3
+            decls_ours.append(
+                DS.Decl(id=i, lean_name=name, decl_type=dtype, is_internal=internal)
+            )
+            decls_ref.append(
+                SimpleNamespace(
+                    id=i, lean_name=name, decl_type=dtype, is_internal=internal
+                )
+            )
+        text = rng.choice(TEXTS)
+        ours = DS.choose_primary(decls_ours, text)
+        ref = P3._choose_primary_declaration(decls_ref, text)
+        assert (ours.id if ours else None) == (ref.id if ref else None), (
+            f"trial {trial}: {[(d.lean_name, d.decl_type, d.is_internal) for d in decls_ours]} text={text!r}"
+        )
+
+
+def test_choose_primary_empty():
+    assert DS.choose_primary([], "text") is None
+
+
+def test_topological_levels(spark):
+    # diamond + chain + a 2-cycle
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["level"] for r in G.topological_levels(edges).collect()}
+    assert got[1] == 0
+    assert got[2] == 1 and got[3] == 1
+    assert got[4] == 2
+    assert got[5] == 3
+    assert got[10] == -1 and got[11] == -1  # cycle fallback
