@@ -122,6 +122,40 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface (spark.sql over temp views): orders ⨝ customer ⨝
+    nation revenue rollup. Money sums rounded to 2dp so float sum-order
+    ulps cannot flip a digit at the hash boundary."""
+    for t in ("customer", "orders", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+def q_sql_lang_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface over the documents table."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents_v"
+    )
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 6) AS avg_chars,
+               max(n_chars) AS max_chars
+        FROM documents_v GROUP BY lang
+        """
+    )
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: carry descriptions from a simulated previous snapshot (every
     third doc) onto the current corpus by content key."""
@@ -186,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_minmax_norm": R.acctbal_minmax_norm,
         "pricing_summary": R.pricing_summary,
         "event_sessionization": R.event_sessionization,
+        # pure SQL-API surface
+        "sql_revenue_by_nation": q_sql_revenue_by_nation,
+        "sql_lang_doc_stats": q_sql_lang_doc_stats,
         # snapshot merge / upsert (J7/J8)
         "snapshot_merge": q_snapshot_merge,
         "stale_docs": q_stale_docs,
@@ -658,6 +695,19 @@ def oracle_sql() -> dict[str, str]:
         "acctbal_minmax_norm": _MINMAX_SQL,
         "pricing_summary": _PRICING_SQL,
         "event_sessionization": _SESSIONS_SQL,
+        "sql_revenue_by_nation": (
+            "SELECT n.n_name, count(*) AS n_orders,"
+            " round(sum(o.o_totalprice), 2) AS revenue"
+            " FROM orders o"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " GROUP BY n.n_name"
+        ),
+        "sql_lang_doc_stats": (
+            "SELECT lang, count(*) AS n_docs,"
+            " round(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars"
+            " FROM documents GROUP BY lang"
+        ),
         "snapshot_merge": _SNAPSHOT_MERGE_SQL,
         "stale_docs": _STALE_SQL,
         # pagerank_supplier_part, image_features, video_frame_sample:
