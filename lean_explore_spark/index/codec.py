@@ -69,6 +69,12 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    # fast path: no continuation bits → every byte is one value
+    # (true for nearly all gap/tf blocks on natural text)
+    if not (b & 0x80).any():
+        if count is not None and count != b.size:
+            raise ValueError(f"expected {count} values, payload holds {b.size}")
+        return b.astype(np.uint64)
     is_last = (b & 0x80) == 0
     n = int(is_last.sum())
     if count is not None and count != n:

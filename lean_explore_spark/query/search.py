@@ -195,9 +195,16 @@ class SearchEngine:
 
         return wand.finalize_topk(heap, ctx, k, unmatched_iter())
 
+    # below this many postings in a shard, the vectorized exhaustive
+    # scorer beats WAND's per-doc loop even when pruning would work
+    BULK_THRESHOLD = 100_000
+
     def search_tokens(
-        self, tokens: Sequence[str], k: int = 50
+        self, tokens: Sequence[str], k: int = 50, mode: str = "auto"
     ) -> List[Tuple[int, float]]:
+        """mode: 'auto' picks per shard (bulk for small posting totals,
+        block-max WAND otherwise); 'wand'/'bulk' force a path — both
+        produce bit-identical scores (tests assert it)."""
         k = min(k, self.n_docs)
         if k <= 0:
             return []
@@ -212,7 +219,14 @@ class SearchEngine:
                     wand.TermCursor(_row_to_packed(r), uindex[t])
                     for t, r in by_shard[shard]
                 ]
-                wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+                total = sum(c.packed.count for c in cursors)
+                use_bulk = mode == "bulk" or (
+                    mode == "auto" and total <= self.BULK_THRESHOLD
+                )
+                if use_bulk:
+                    wand.bulk_score_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+                else:
+                    wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
 
         return self._finalize(heap, ctx, k)
 

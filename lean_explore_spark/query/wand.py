@@ -260,6 +260,63 @@ def wand_shard(
             live = [c for c in live if not c.exhausted()]
 
 
+def bulk_score_shard(
+    cursors: List[TermCursor],
+    ctx: QueryContext,
+    dl_ids: np.ndarray,
+    dl_lens: np.ndarray,
+    heap: List[Tuple[float, int, int]],
+    k: int,
+) -> None:
+    """Vectorized exhaustive scorer for one shard — used when WAND
+    cannot prune enough to pay for its per-doc Python loop (small
+    total posting count, or single dense term at sub-corpus k).
+
+    This is literally the oracle's computation (oracle/bm25.py
+    get_scores) restricted to the shard's touched docs: per unique
+    term, x is filled into a (docs × terms) matrix and the score
+    accumulates token-sequence-major over columns — float64 results
+    are bit-identical to both the oracle and wand_shard.
+    """
+    n_u = len(ctx.idfs)
+    all_docs: List[np.ndarray] = []
+    all_uterm: List[np.ndarray] = []
+    all_x: List[np.ndarray] = []
+    for cur in cursors:
+        # decode every block of every cursor (bulk = exhaustive)
+        d, t = codec.unpack_all(cur.packed)
+        if len(d) == 0:
+            continue
+        pos = np.searchsorted(dl_ids, d)
+        dls = dl_lens[pos]
+        x = codec.bm25_tf_part(t, dls, ctx.avgdl, ctx.k1, ctx.b)
+        all_docs.append(d)
+        all_uterm.append(np.full(len(d), cur.uterm, dtype=np.int64))
+        all_x.append(x)
+    if not all_docs:
+        return
+    docs = np.concatenate(all_docs)
+    uterm = np.concatenate(all_uterm)
+    xs = np.concatenate(all_x)
+    uniq, inverse = np.unique(docs, return_inverse=True)
+    X = np.zeros((len(uniq), n_u), dtype=np.float64)
+    X[inverse, uterm] = xs
+    score = np.zeros(len(uniq), dtype=np.float64)
+    for u in ctx.token_uterm:  # token order, like the oracle
+        score += ctx.idfs[u] * (ctx.delta + X[:, u])
+    # best-first by (score desc, doc asc); stop pushing once the heap
+    # is full and the next candidate cannot enter
+    order = np.lexsort((uniq, -score))
+    for idx in order:
+        entry = (float(score[idx]), -int(uniq[idx]), int(uniq[idx]))
+        if len(heap) < k:
+            heapq.heappush(heap, entry)
+        elif entry > heap[0]:
+            heapq.heapreplace(heap, entry)
+        else:
+            break  # sorted order: nothing later can enter either
+
+
 def finalize_topk(
     heap: List[Tuple[float, int, int]],
     ctx: QueryContext,

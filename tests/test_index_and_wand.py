@@ -51,11 +51,12 @@ def ostats():
     )
 
 
+@pytest.mark.parametrize("mode", ["wand", "bulk"])
 @pytest.mark.parametrize("query", QUERIES)
 @pytest.mark.parametrize("k", [5, 25])
-def test_wand_bit_exact_vs_oracle(engine, ostats, query, k):
+def test_wand_bit_exact_vs_oracle(engine, ostats, query, k, mode):
     tokens = tokenize_stem(query)
-    got = engine.search_tokens(tokens, k)
+    got = engine.search_tokens(tokens, k, mode=mode)
     want = oracle.top_k(ostats, tokens, k)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
