@@ -137,16 +137,22 @@ class IndexBuilder:
         out_dir: str,
         *,
         stem: bool = True,
-        num_shards: int = 8,
+        num_shards: int | None = 8,
         num_buckets: int = 8,
         block_size: int = codec.BLOCK_SIZE,
+        span_target: int = 250_000,
     ) -> None:
+        """``num_shards=None`` auto-sizes: shards = ceil(docs/span_target),
+        keeping every (term, shard) pack group and every per-shard
+        doc-length slice bounded by ``span_target`` regardless of
+        corpus size — the scale-correct default for unknown inputs."""
         self.spark = spark
         self.paths = IndexPaths(Path(out_dir))
         self.stem = stem
         self.num_shards = num_shards
         self.num_buckets = num_buckets
         self.block_size = block_size
+        self.span_target = span_target
         ensure_py_files(spark)
 
     # -- stage A: forward index ---------------------------------------
@@ -155,7 +161,9 @@ class IndexBuilder:
         """Tokenize once; write the forward index partitioned by shard."""
         marker = self.paths.staging / "_STAGING_DONE.json"
         if marker.exists():
-            return json.loads(marker.read_text())
+            info = json.loads(marker.read_text())
+            self.num_shards = info.get("num_shards", self.num_shards)
+            return info
 
         # bounds come from the raw input (no tokenization) so the
         # expensive analyze pass runs exactly once, at write time
@@ -163,6 +171,8 @@ class IndexBuilder:
             F.count("*").alias("n"), F.max("doc_id").alias("max_id")
         ).collect()[0]
         n_docs, max_id = int(bounds["n"]), int(bounds["max_id"])
+        if self.num_shards is None:
+            self.num_shards = max(1, math.ceil((max_id + 1) / self.span_target))
         span = max(1, math.ceil((max_id + 1) / self.num_shards))
         (
             A.analyze(docs, stem=self.stem)
@@ -173,7 +183,12 @@ class IndexBuilder:
             .mode("overwrite")
             .parquet(str(self.paths.staging))
         )
-        info = {"n_docs": n_docs, "max_doc_id": max_id, "span": span}
+        info = {
+            "n_docs": n_docs,
+            "max_doc_id": max_id,
+            "span": span,
+            "num_shards": self.num_shards,
+        }
         marker.write_text(json.dumps(info))
         return info
 
@@ -246,12 +261,15 @@ class IndexBuilder:
         staged = spark.read.parquet(str(self.paths.staging)).where(
             F.col("shard").isin([int(s) for s in shards])
         )
+        # doc_len is NOT shuffled per posting: it is pure redundancy
+        # (8 B × every posting); the packer loads each shard's
+        # span-bounded doc-length slice from doc_stats instead
         exploded = staged.select(
             F.col("shard"),
             F.col("doc_id"),
-            F.col("doc_len").cast("long").alias("doc_len"),
             F.explode("tf_map").alias("term", "tf"),
         ).withColumn("bucket", term_bucket_col(num_buckets))
+        doc_stats_root = str(self.paths.doc_stats)
 
         pack_schema = StructType(
             [StructField("shard", IntegerType())] + POSTINGS_SCHEMA.fields
@@ -284,8 +302,25 @@ class IndexBuilder:
 
             cur_key = None  # (shard, term)
             cur_bucket = 0
-            bufs: List[tuple] = []  # (ids, tfs, dls) numpy slices
+            bufs: List[tuple] = []  # (ids, tfs) numpy slices
             out_rows: List[tuple] = []
+            dl_cache: dict = {}  # shard -> (sorted doc_ids, doc_lens)
+
+            def shard_doc_lens(shard: int):
+                if shard not in dl_cache:
+                    import pyarrow.parquet as pq
+
+                    tbl = pq.read_table(
+                        f"{doc_stats_root}/shard={shard}",
+                        columns=["doc_id", "doc_len"],
+                    )
+                    ids = tbl.column("doc_id").to_numpy()
+                    order = ids.argsort()
+                    dl_cache[shard] = (
+                        ids[order],
+                        tbl.column("doc_len").to_numpy()[order],
+                    )
+                return dl_cache[shard]
 
             def flush():
                 if cur_key is None or not bufs:
@@ -293,9 +328,10 @@ class IndexBuilder:
                 if len(bufs) > 1:
                     ids = np.concatenate([b[0] for b in bufs])
                     tfs = np.concatenate([b[1] for b in bufs])
-                    dls = np.concatenate([b[2] for b in bufs])
                 else:
-                    ids, tfs, dls = bufs[0]
+                    ids, tfs = bufs[0]
+                dl_ids, dl_lens = shard_doc_lens(int(cur_key[0]))
+                dls = dl_lens[np.searchsorted(dl_ids, ids)]
                 p = codec.pack_postings(
                     ids, tfs, dls, avgdl=avgdl, block_size=block_size
                 )
@@ -347,7 +383,6 @@ class IndexBuilder:
                     continue
                 shard_np = rb.column("shard").to_numpy()
                 ids_np = rb.column("doc_id").to_numpy()
-                dls_np = rb.column("doc_len").to_numpy()
                 tfs_np = rb.column("tf").to_numpy()
                 bucket_np = rb.column("bucket").to_numpy()
                 terms = rb.column("term")
@@ -370,7 +405,6 @@ class IndexBuilder:
                         (
                             ids_np[s:e].astype(np.int64, copy=False),
                             tfs_np[s:e].astype(np.int64, copy=False),
-                            dls_np[s:e].astype(np.int64, copy=False),
                         )
                     )
                 if out_rows:
