@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), QUERY_VEC_ID),
         "lsh_buckets": lambda s, d: S.rp_lsh_buckets(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: S.ann_topk_lsh(_emb(s, d), QUERY_VEC_ID),
+        "embedding_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
         # text analysis
         "lang_id": lambda s, d: T.lang_id(_docs(s, d)),
         "quality_score": lambda s, d: T.quality_score(_docs(s, d)),
@@ -473,6 +474,25 @@ ORDER BY round(d.dot / (sqrt(d.n2) * qn.qnorm), 6) DESC, d.vec_id ASC
 LIMIT 20
 """
 
+_NEAR_DUP_SQL = """
+WITH ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
+"""
+
 # text analysis ---------------------------------------------------------
 
 _STOPWORD_VALUES = ",".join(
@@ -683,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "cosine_topk": _COSINE_SQL,
         "lsh_buckets": _LSH_BUCKETS_SQL,
+        "embedding_near_dup": _NEAR_DUP_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "lang_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,

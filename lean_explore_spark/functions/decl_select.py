@@ -22,7 +22,7 @@ and tested differentially against the reference implementation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from lean_explore_spark.functions.lean_text import hierarchical_name_matches
 

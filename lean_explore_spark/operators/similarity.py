@@ -91,6 +91,31 @@ def rp_lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) with
+    vec_a < vec_b and cosine ≥ threshold, cos rounded 6dp.
+
+    Exact pairwise form (the dedup oracle); at corpus scale the same
+    predicate runs after rp_lsh_buckets candidate generation so the
+    join is per-bucket instead of quadratic.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("_c"))
+        .where(F.col("_c") >= threshold)
+        .select("vec_a", "vec_b", F.round("_c", 6).alias("cos"))
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame, query_vec_id: int, k: int = 20,
     n_planes: int = N_PLANES,

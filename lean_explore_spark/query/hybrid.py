@@ -18,7 +18,7 @@ min-max over the candidate set) for set-at-a-time pipelines.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
