@@ -474,17 +474,25 @@ ORDER BY round(d.dot / (sqrt(d.n2) * qn.qnorm), 6) DESC, d.vec_id ASC
 LIMIT 20
 """
 
-_NEAR_DUP_SQL = """
-WITH ev AS (
+_NEAR_DUP_SQL = f"""
+WITH {_LSH_BUCKETS_CTE},
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+ev AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          unnest(generate_series(1, len(embedding))) AS i
   FROM embeddings
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
 dots AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
-  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+  SELECT c.vec_a, c.vec_b, sum(a.v * b.v) AS dot
+  FROM cand c
+  JOIN ev a ON a.vec_id = c.vec_a
+  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
+  GROUP BY c.vec_a, c.vec_b
 )
 SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
 FROM dots

@@ -92,22 +92,43 @@ def rp_lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.4
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    lsh_prefilter: bool = True,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) with
     vec_a < vec_b and cosine ≥ threshold, cos rounded 6dp.
 
-    Exact pairwise form (the dedup oracle); at corpus scale the same
-    predicate runs after rp_lsh_buckets candidate generation so the
-    join is per-bucket instead of quadratic.
+    With ``lsh_prefilter`` (the scale path, default) candidates come
+    from rp_lsh_buckets equality — the pair join is per-bucket instead
+    of quadratic over the corpus (near-dup vectors almost always share
+    all hyperplane signs).  ``lsh_prefilter=False`` is the exact
+    exhaustive form for small sets / recall audits.
     """
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    if lsh_prefilter:
+        with_b = embeddings.join(rp_lsh_buckets(embeddings, n_planes), "vec_id")
+        a = with_b.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("bucket").alias("ba"),
+        )
+        b = with_b.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("bucket").alias("bb"),
+        )
+        pairs = a.join(
+            b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b"))
+        )
+    else:
+        a = embeddings.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        )
+        b = embeddings.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        )
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
     return (
         pairs.select("vec_a", "vec_b", cos.alias("_c"))
