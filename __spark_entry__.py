@@ -229,12 +229,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_docs": q_stale_docs,
         # iterative / multimodal (rows-only checks — no SQL oracle)
         "pagerank_supplier_part": G.supplier_part_pagerank,
-        "image_features": lambda s, d: M.image_features(
-            M.generate_media(s, 300)
-        ),
-        "video_frame_sample": lambda s, d: M.frame_sample(
-            M.generate_media(s, 300)
-        ),
+        # ensure_py_files: these don't route through _docs, but their
+        # mapInPandas closures still import the package on executors
+        "image_features": lambda s, d: (
+            ensure_py_files(s),
+            M.image_features(M.generate_media(s, 300)),
+        )[1],
+        "video_frame_sample": lambda s, d: (
+            ensure_py_files(s),
+            M.frame_sample(M.generate_media(s, 300)),
+        )[1],
     }
 
 
