@@ -227,17 +227,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot merge / upsert (J7/J8)
         "snapshot_merge": q_snapshot_merge,
         "stale_docs": q_stale_docs,
-        # iterative / multimodal (rows-only checks — no SQL oracle)
+        # iterative graph (fixed 20 iterations → unrolled-CTE oracle)
         "pagerank_supplier_part": G.supplier_part_pagerank,
-        # ensure_py_files: these don't route through _docs, but their
-        # mapInPandas closures still import the package on executors
+        # multimodal — ensure_py_files: these don't route through
+        # _docs, but their mapInPandas closures still import the
+        # package on executors
         "image_features": lambda s, d: (
             ensure_py_files(s),
-            M.image_features(M.generate_media(s, 300)),
+            M.image_features_flat(M.generate_media(s, 300)),
         )[1],
         "video_frame_sample": lambda s, d: (
             ensure_py_files(s),
             M.frame_sample(M.generate_media(s, 300)),
+        )[1],
+        "audio_features": lambda s, d: (
+            ensure_py_files(s),
+            M.audio_features(M.generate_media(s, 300)),
         )[1],
     }
 
@@ -440,6 +445,10 @@ ORDER BY round(dot / (sqrt(n2) * qn.qnorm), 6) DESC, vec_id ASC
 LIMIT 20
 """
 
+# integer-quantized plane dots (similarity.QUANT): the sign bit is an
+# exact integer comparison in BOTH engines — no float summation-order
+# flakiness (ADVICE r1); bucket sum CAST to BIGINT (duckdb sum(BIGINT)
+# is HUGEINT, which hash-mismatches Spark's long — r1 defect)
 _LSH_BUCKETS_CTE = f"""
 planes AS (SELECT unnest(generate_series(0, {S.N_PLANES - 1})) AS p),
 evl AS (
@@ -449,14 +458,15 @@ evl AS (
 ),
 dotp AS (
   SELECT vec_id, p,
-         sum(v * (((p * 131 + (i - 1) * 31) % 17 - 8) / 8.0)) AS dot
+         sum(CAST(floor(v * CAST({S.QUANT} AS DOUBLE)) AS BIGINT)
+             * ((p * 131 + (i - 1) * 31) % 17 - 8)) AS dot
   FROM evl CROSS JOIN planes
   GROUP BY vec_id, p
 ),
 buckets AS (
   SELECT vec_id,
-         sum(CASE WHEN dot > 0.0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
-           AS bucket
+         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                  ELSE 0 END) AS BIGINT) AS bucket
   FROM dotp GROUP BY vec_id
 )
 """
@@ -478,25 +488,21 @@ ORDER BY round(d.dot / (sqrt(d.n2) * qn.qnorm), 6) DESC, d.vec_id ASC
 LIMIT 20
 """
 
-_NEAR_DUP_SQL = f"""
-WITH {_LSH_BUCKETS_CTE},
-cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a JOIN buckets b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-ev AS (
+# EXACT pairwise semantic spec (ADVICE r1: the oracle must state
+# "cosine >= threshold", never an approximation of it — the Spark side
+# computes the exact answer via blocked GEMM; the LSH prefilter is a
+# separately-tested at-scale approximation)
+_NEAR_DUP_SQL = """
+WITH ev AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          unnest(generate_series(1, len(embedding))) AS i
   FROM embeddings
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
 dots AS (
-  SELECT c.vec_a, c.vec_b, sum(a.v * b.v) AS dot
-  FROM cand c
-  JOIN ev a ON a.vec_id = c.vec_a
-  JOIN ev b ON b.vec_id = c.vec_b AND b.i = a.i
-  GROUP BY c.vec_a, c.vec_b
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+  FROM ev a JOIN ev b ON b.i = a.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
 )
 SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
 FROM dots
@@ -657,18 +663,134 @@ WHERE l_shipdate <= TIMESTAMP '2025-06-30'
 GROUP BY l_returnflag, l_linestatus
 """
 
+# exact integer microsecond gaps (epoch_us) — r1 used epoch() DOUBLE
+# with fractional seconds vs Spark's truncating unix_timestamp, and an
+# uncast HUGEINT sum; both fixed (gap semantics now µs-exact, matching
+# relational.event_sessionization's timestampdiff(MICROSECOND, ...))
 _SESSIONS_SQL = """
 WITH e AS (
   SELECT user_id, event_id, ts,
-         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) AS gap
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
   FROM events WHERE user_id < 200
 )
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-         AS n_sessions,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM e GROUP BY user_id
+"""
+
+# fixed-iteration PageRank unrolled as chained CTEs (tol=0 on the
+# Spark side pins the same iteration count; see graph.pagerank)
+
+
+def _pagerank_sql(iters: int, alpha: float = 0.85) -> str:
+    # AS MATERIALIZED: inlined CTEs would re-evaluate edges/r{k} per
+    # reference (exponential re-scans of lineitem; duckdb runs out of
+    # file handles before it runs out of patience)
+    sql = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS src,
+         l_partkey + 1000000 AS dst
+  FROM lineitem
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+cnt AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+weighted AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(1 AS DOUBLE) / o.deg AS w
+  FROM edges e JOIN outdeg o USING (src)
+),
+r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / cnt.n AS rank FROM nodes CROSS JOIN cnt)
+"""
+    a = f"CAST({alpha} AS DOUBLE)"
+    for k in range(iters):
+        sql += f""",
+d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+  FROM r{k} r
+  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)
+),
+s{k} AS MATERIALIZED (
+  SELECT w.dst AS node, sum(w.w * r.rank) AS in_sum
+  FROM weighted w JOIN r{k} r ON w.src = r.node
+  GROUP BY w.dst
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - {a}) / cnt.n
+           + {a} * (coalesce(s.in_sum, CAST(0 AS DOUBLE)) + d.dm / cnt.n)
+           AS rank
+  FROM nodes n
+  LEFT JOIN s{k} s USING (node)
+  CROSS JOIN d{k} d CROSS JOIN cnt
+)"""
+    return sql + f"\nSELECT node, round(rank, 8) AS rank FROM r{iters}"
+
+
+_PAGERANK_SQL = _pagerank_sql(G.CONTRACT_PR_ITERS)
+
+# fake-media arithmetic is a pure function of media_id (multimodal.
+# generate_media: kind = kinds[i%3], n_frames = 16 + i%9 for video)
+_FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT i AS media_id, 16 + i % 9 AS n_frames
+  FROM unnest(generate_series(0, 299)) AS t(i)
+  WHERE i % 3 = 2
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT)
+         AS frame_idx
+FROM media
+"""
+
+
+def _hexbyte(k: str) -> str:
+    """SQL expr: payload byte at offset ``k`` — the fake payload is
+    sha256(seed:media_id) repeated, so byte k = digest[k % 32], folded
+    from the hex string exactly like the md5 folds above."""
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, 2 * (({k}) % 32) + 1, 1))"
+        " - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substr(hx, 2 * (({k}) % 32) + 2, 1))"
+        " - 1))"
+    )
+
+
+# int16-LE PCM features over the deterministic payload; every aggregate
+# is exact-integer (sum of squares < 2^53) so both engines agree
+# bit-for-bit, rms rounded 6dp after one double division + sqrt
+_AUDIO_SQL = f"""
+WITH aud AS (
+  SELECT i AS media_id,
+         sha256('42:' || CAST(i AS VARCHAR)) AS hx,
+         least(1024 + (i % 7) * 256, 2048) // 2 AS n_samples
+  FROM unnest(generate_series(0, 299)) AS t(i)
+  WHERE i % 3 = 1
+),
+samp0 AS (
+  SELECT media_id, j,
+         {_hexbyte('2 * j')} + 256 * {_hexbyte('2 * j + 1')} AS raw
+  FROM aud, unnest(generate_series(0, n_samples - 1)) AS u(j)
+),
+samp AS (
+  SELECT media_id, j,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+  FROM samp0
+),
+lagd AS (
+  SELECT media_id, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY j) AS prev_s
+  FROM samp
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)), 6) AS rms,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN prev_s IS NOT NULL AND ((s < 0) <> (prev_s < 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagd GROUP BY media_id
 """
 
 
@@ -743,6 +865,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_merge": _SNAPSHOT_MERGE_SQL,
         "stale_docs": _STALE_SQL,
-        # pagerank_supplier_part, image_features, video_frame_sample:
-        # intentionally absent → driver records rows-only checks
+        "pagerank_supplier_part": _PAGERANK_SQL,
+        "video_frame_sample": _FRAME_SAMPLE_SQL,
+        "audio_features": _AUDIO_SQL,
+        # image_features: intentionally absent (rows-only) — the
+        # feature kernel is a Philox RNG of the payload hash, not
+        # SQL-expressible; the audio modality carries the value-checked
+        # multimodal proof instead
     }

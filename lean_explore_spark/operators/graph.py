@@ -87,15 +87,20 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
             new_ranks = new_ranks.localCheckpoint(eager=True)
-        delta = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "node")
-            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
-            .collect()[0][0]
-        )
-        ranks = new_ranks
-        if delta < n * tol:
-            break
+        if tol > 0:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta < n * tol:
+                break
+        else:
+            # tol=0 pins an exact iteration count (contract determinism)
+            # and saves the per-iteration convergence action
+            ranks = new_ranks
     return ranks
 
 
@@ -154,14 +159,21 @@ def topological_levels(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
     return out.unionByName(cyclic)
 
 
+CONTRACT_PR_ITERS = 20
+
+
 def supplier_part_pagerank(spark, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: PageRank over the supplier→part graph
     derived from lineitem (bipartite; parts offset to a disjoint id
-    space), ranks rounded 8dp."""
+    space), ranks rounded 8dp.
+
+    Iteration count is PINNED (tol=0 → exactly CONTRACT_PR_ITERS
+    iterations) so the DuckDB oracle can unroll the same fixed number
+    of iterations as chained CTEs and value-match."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     edges = li.select(
         F.col("l_suppkey").alias("src"),
         (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
     )
-    pr = pagerank(edges, max_iter=100)
+    pr = pagerank(edges, max_iter=CONTRACT_PR_ITERS, tol=0.0)
     return pr.select("node", F.round("rank", 8).alias("rank"))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -145,6 +146,19 @@ def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     ).mapInPandas(extract, schema=out_schema)
 
 
+def image_features_flat(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Contract-shaped image features: the array<float> feature vector
+    exploded to scalar (media_id, dim, value) rows — the driver's
+    canonicalizer hashes scalars, not arrays (r1 CORRECTNESS err)."""
+    return image_features(media, fake_decode).select(
+        "media_id", F.posexplode("feature").alias("dim", "value")
+    ).select(
+        "media_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     """(media_id, frame_idx): deterministic frame-sampling plan for
     video rows — pure relational (sequence + explode), the decode of
@@ -159,4 +173,58 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
                 )
             ).alias("frame_idx"),
         )
+        .select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
     )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Capability-proven audio modality: feature extraction over raw
+    PCM bytes needs NO external codec (unlike image/video decode).
+
+    Payload is interpreted as int16 little-endian mono PCM; features
+    are exact-integer aggregates so the DuckDB oracle reproduces them
+    bit-for-bit (sum of squares ≤ 640·2^30 < 2^53 — exact in both
+    engines; rms = sqrt(ss/n) is one double division + sqrt of exact
+    integers):
+
+      n_samples        len(payload) // 2
+      rms              sqrt(Σ s² / n) rounded 6dp
+      peak             max |s|
+      zero_crossings   # of j with sign(s_j) ≠ sign(s_{j+1}), sign = (s < 0)
+
+    Arrow-batched mapInPandas, numpy vectorized per batch — bytes never
+    leave the executor."""
+    import math
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", LongType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                n = int(s.size)
+                ss = int(np.sum(s * s))
+                rms = round(math.sqrt(ss / n), 6) if n else 0.0
+                peak = int(np.abs(s).max()) if n else 0
+                neg = s < 0
+                zc = int(np.sum(neg[:-1] != neg[1:])) if n > 1 else 0
+                rows.append((int(mid), n, rms, peak, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, schema=out_schema)

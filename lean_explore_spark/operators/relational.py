@@ -123,16 +123,23 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first 200 users."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet stores TIMESTAMP_NTZ; epoch seconds via unix_timestamp on
-    # the UTC-pinned session (ANSI forbids a direct bigint cast)
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(
-        gap.isNull() | (gap > 1800), F.lit(1)
-    ).otherwise(F.lit(0))
+    # exact microsecond gap straight on the TIMESTAMP_NTZ column:
+    # timestampdiff is wall-clock arithmetic — no session-timezone
+    # dependence, no second-truncation (events carry µs precision)
     sess = (
         e.where(F.col("user_id") < 200)
-        .withColumn("new_sess", new_sess)
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+        )
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("gap_us") > 1_800_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
     )
     return sess.groupBy("user_id").agg(
         F.sum("new_sess").alias("n_sessions"),

@@ -1,30 +1,52 @@
 """Similarity search over embedding columns (``array<float>``).
 
 The reference's FAISS stage (scripts/build_faiss_index.py:183-213,
-local/search.py:391-429) maps to two Spark-first paths:
+local/search.py:391-429) maps to three Spark-first paths:
 
 * ``cosine_topk`` — brute-force exact top-k: the embeddings scan stays
   columnar, the dot product is a JVM higher-order-function fold
   (``aggregate``/``zip_with``) in float64 — no Python, no shuffle
   except the final top-k (``orderBy().limit()`` = TakeOrdered, partial
   top-k per partition then a driver merge of k·P rows).
-* ``rp_lsh_buckets`` — the scale path: random-hyperplane LSH signs
-  bucket vectors so candidate generation touches one bucket instead of
-  the full corpus (the IVF analog).  Hyperplane components are a pure
-  integer formula of (plane, dim), so the same buckets come out of the
-  SQL oracle.
+* ``rp_lsh_buckets`` / ``rp_lsh_tables`` — the candidate-pruning path:
+  random-hyperplane LSH signs bucket vectors so candidate generation
+  touches matching buckets instead of the full corpus (the IVF
+  analog).  Multiple independent tables (OR-of-bands) recover the
+  recall a single signature loses — capture probability for a pair at
+  angle θ is 1 - (1 - p^r)^b with p = 1 - θ/π, r planes per table, b
+  tables (measured in tests/test_skew_and_pathology.py).  The plane
+  dot is exact INTEGER arithmetic (embedding components quantized by
+  floor(x·512)) so the bucket bit can never flip on a float
+  summation-order ulp across engines/partitionings.
+* ``embedding_near_dup_pairs`` — exact all-pairs cosine ≥ threshold.
+  The default execution is a blocked matrix-multiply (vectors packed
+  into ~``block_size``-row tiles, tile pairs GEMM'd with numpy inside
+  ``mapInPandas``): exact semantics, O(N²/block²) tasks, each a dense
+  float64 GEMM instead of an interpreted per-pair fold.
+  ``lsh_prefilter=True`` is the at-scale approximation — candidates
+  from multi-table LSH, then exact rerank — whose recall is measured,
+  documented, and NOT baked into any oracle.
 
-At 10^12 rows brute force is a full scan per query — rp_lsh_buckets
-(or an IVF centroid table) prunes the scan to matching buckets via
+At 10^12 rows brute force is a full scan per query — rp_lsh tables
+(or an IVF centroid table) prune the scan to matching buckets via
 partition-pruned joins.
 """
 
 from __future__ import annotations
 
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 N_PLANES = 8
+N_TABLES = 8
+# quantization scale for LSH plane dots: floor(x * QUANT) makes the
+# dot an exact integer sum — identical in Spark, DuckDB, and numpy
+# regardless of accumulation order (ADVICE r1: float sign flakiness)
+QUANT = 512
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -69,94 +91,226 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
-def rp_lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, bucket): random-hyperplane LSH bucket per vector.
+def _plane_coeff(p: int, table: int) -> str:
+    """SQL expr for the integer coefficient of plane ``p`` of ``table``
+    at dimension ``d`` (free variable): a deterministic pseudo-random
+    family in [-8, 8], expressible identically in Spark and DuckDB."""
+    return f"(({p} * 131 + d * 31 + {table} * 277) % 17 - 8)"
 
-    plane(p, d) = ((p*131 + d*31) % 17 - 8) / 8.0 — a deterministic
-    pseudo-random hyperplane family expressible in both engines.
-    bucket = Σ_p (dot(v, plane_p) > 0) << p.
-    """
+
+def _bucket_expr(n_planes: int, table: int) -> str:
+    """Bucket = Σ_p (plane-dot > 0) << p with the plane dot an exact
+    integer: Σ_d floor(x_d · QUANT) · coeff(p, d)."""
     bit = (
         "cast(aggregate(zip_with(embedding,"
-        " transform(sequence(0, size(embedding) - 1),"
-        f" d -> (({{p}} * 131 + d * 31) % 17 - 8) / 8.0d),"
-        " (x, h) -> cast(x as double) * h), cast(0.0 as double),"
-        " (acc, v) -> acc + v) > 0.0 as int)"
+        " sequence(0, size(embedding) - 1),"
+        f" (x, d) -> cast(floor(cast(x as double) * {QUANT}.0d) as bigint)"
+        f" * {_plane_coeff('{p}', table)}),"
+        " cast(0 as bigint), (acc, v) -> acc + v) > 0 as int)"
     )
-    expr = " + ".join(
+    return " + ".join(
         f"({bit.format(p=p)} * {1 << p})" for p in range(n_planes)
     )
+
+
+def rp_lsh_buckets(
+    embeddings: DataFrame, n_planes: int = N_PLANES, table: int = 0
+) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane LSH bucket per vector for
+    one hash table.  coeff(p, d) = (p·131 + d·31 + table·277) % 17 − 8;
+    bucket = Σ_p (Σ_d floor(x_d·512)·coeff > 0) << p.  Integer dots:
+    bit-reproducible across engines and accumulation orders."""
     return embeddings.select(
-        "vec_id", F.expr(expr).cast("long").alias("bucket")
+        "vec_id",
+        F.expr(_bucket_expr(n_planes, table)).cast("long").alias("bucket"),
     )
+
+
+def rp_lsh_tables(
+    embeddings: DataFrame,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(vec_id, table, bucket): ``n_tables`` independent LSH tables in
+    ONE pass over the embeddings (stack expression — no self-union, the
+    scan is read once)."""
+    pairs = ", ".join(
+        f"{t}, cast(({_bucket_expr(n_planes, t)}) as bigint)"
+        for t in range(n_tables)
+    )
+    return embeddings.select(
+        "vec_id",
+        F.expr(f"stack({n_tables}, {pairs})").alias("table", "bucket"),
+    )
+
+
+# ---------------------------------------------------------------------
+# exact all-pairs near-dup: blocked GEMM
+# ---------------------------------------------------------------------
+
+_BLOCK_SCHEMA = "blk long, n int, ids binary, mat binary"
+
+
+def _pack_blocks(embeddings: DataFrame, block_size: int) -> DataFrame:
+    """Pack vectors into ~block_size-row tiles keyed by vec_id range:
+    (blk, n, ids: int64 bytes, mat: float64 row-major bytes).  One
+    shuffle of the embeddings, tile payloads stay executor-side."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "n": [len(ids)],
+                "ids": [ids.tobytes()],
+                "mat": [mat.tobytes()],
+            }
+        )
+
+    withb = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.floor(F.col("vec_id") / block_size).cast("long").alias("blk"),
+    )
+    return withb.groupBy("blk").applyInPandas(pack, schema=_BLOCK_SCHEMA)
 
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    lsh_prefilter: bool = True,
+    lsh_prefilter: bool = False,
+    block_size: int = 1024,
+    n_tables: int = N_TABLES,
     n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) with
     vec_a < vec_b and cosine ≥ threshold, cos rounded 6dp.
 
-    With ``lsh_prefilter`` (the scale path, default) candidates come
-    from rp_lsh_buckets equality — the pair join is per-bucket instead
-    of quadratic over the corpus (near-dup vectors almost always share
-    all hyperplane signs).  ``lsh_prefilter=False`` is the exact
-    exhaustive form for small sets / recall audits.
+    Default = EXACT: tile pairs of packed blocks are cross-joined
+    (blk_a ≤ blk_b) and each tile pair is one numpy GEMM — exact
+    ``cos = dot / (‖a‖·‖b‖)`` semantics over every pair, with
+    O((N/block)²) tasks instead of an N² row join.  The N² work is
+    inherent to the exact semantic; at 10^12 rows you run the
+    ``lsh_prefilter=True`` variant: candidates = pairs sharing ANY of
+    ``n_tables`` LSH buckets, then exact rerank.  Its recall is
+    1-(1-p^r)^b per pair (p = 1 - θ/π) — measured in
+    tests/test_skew_and_pathology.py, NOT assumed by any oracle.
     """
     if lsh_prefilter:
-        with_b = embeddings.join(rp_lsh_buckets(embeddings, n_planes), "vec_id")
-        a = with_b.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("ea"),
+        tb = rp_lsh_tables(embeddings, n_tables, n_planes)
+        a = tb.select(
+            F.col("vec_id").alias("vec_a"), "table",
             F.col("bucket").alias("ba"),
         )
-        b = with_b.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("eb"),
+        b = tb.select(
+            F.col("vec_id").alias("vec_b"), "table",
             F.col("bucket").alias("bb"),
         )
-        pairs = a.join(
-            b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b"))
+        cand = (
+            a.join(b, ["table"])
+            .where(
+                (F.col("ba") == F.col("bb"))
+                & (F.col("vec_a") < F.col("vec_b"))
+            )
+            .select("vec_a", "vec_b")
+            .distinct()
         )
-    else:
-        a = embeddings.select(
+        ea = embeddings.select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
         )
-        b = embeddings.select(
+        eb = embeddings.select(
             F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
         )
-        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("_c"))
-        .where(F.col("_c") >= threshold)
-        .select("vec_a", "vec_b", F.round("_c", 6).alias("cos"))
+        pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+        cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+        return (
+            pairs.select("vec_a", "vec_b", cos.alias("_c"))
+            .where(F.col("_c") >= threshold)
+            .select("vec_a", "vec_b", F.round("_c", 6).alias("cos"))
+        )
+
+    packed = _pack_blocks(embeddings, block_size)
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("n").alias("n_a"),
+        F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("n").alias("n_b"),
+        F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b"),
+    )
+    tile_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    thr = float(threshold)
+
+    def gemm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            va: List[np.ndarray] = []
+            vb: List[np.ndarray] = []
+            vc: List[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.frombuffer(row.ids_a, dtype=np.int64)
+                ids_b = np.frombuffer(row.ids_b, dtype=np.int64)
+                A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(
+                    int(row.n_a), -1
+                )
+                B = np.frombuffer(row.mat_b, dtype=np.float64).reshape(
+                    int(row.n_b), -1
+                )
+                dots = A @ B.T
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = np.sqrt((B * B).sum(axis=1))
+                cos = dots / np.outer(na, nb)
+                mask = (cos >= thr) & (ids_a[:, None] < ids_b[None, :])
+                ia, ib = np.nonzero(mask)
+                if ia.size:
+                    va.append(ids_a[ia])
+                    vb.append(ids_b[ib])
+                    vc.append(np.round(cos[ia, ib], 6))
+            if va:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(va),
+                        "vec_b": np.concatenate(vb),
+                        "cos": np.concatenate(vc),
+                    }
+                )
+
+    return tile_pairs.mapInPandas(
+        gemm, schema="vec_a long, vec_b long, cos double"
     )
 
 
 def ann_topk_lsh(
-    embeddings: DataFrame, query_vec_id: int, k: int = 20,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
     n_planes: int = N_PLANES,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: brute-force cosine restricted to the query's
-    LSH bucket (falls back to fewer than k when the bucket is small —
-    the standard multi-probe extension widens buckets at scale)."""
-    buckets = rp_lsh_buckets(embeddings, n_planes)
-    with_b = embeddings.join(buckets, "vec_id")
-    qb = buckets.where(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("qbucket")
+    """Approximate top-k: exact cosine restricted to vectors sharing
+    the query's bucket in ANY of ``n_tables`` LSH tables.  One table
+    reproduces the reference's single-probe IVF shape; more tables are
+    the multi-probe/oversampling analog (defaults.py:99-103 nprobe=200,
+    oversample ×3): candidate recall grows as 1-(1-p^r)^b, so
+    under-filled buckets stop starving k."""
+    tb = rp_lsh_tables(embeddings, n_tables, n_planes)
+    qb = tb.where(F.col("vec_id") == query_vec_id).select(
+        "table", F.col("bucket").alias("qbucket")
     )
-    cand = with_b.crossJoin(F.broadcast(qb)).where(
-        F.col("bucket") == F.col("qbucket")
+    cand = (
+        tb.join(F.broadcast(qb), "table")
+        .where(F.col("bucket") == F.col("qbucket"))
+        .select("vec_id")
+        .distinct()
     )
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec")
     )
     scored = (
-        cand.where(F.col("vec_id") != query_vec_id)
+        embeddings.join(cand, "vec_id")
+        .where(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
