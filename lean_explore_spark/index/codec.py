@@ -199,3 +199,33 @@ def unpack_all(packed: PackedPostings) -> tuple[np.ndarray, np.ndarray]:
     if not ids:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return np.concatenate(ids), np.concatenate(tfs)
+
+
+def unpack_for(
+    packed: PackedPostings, want_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only postings for a sorted candidate id array.
+
+    Blocks whose [block_first, block_last] span contains no candidate
+    are skipped via the block directory (no varint decode) — the
+    candidate-set scorer touches O(|cands| / span · blocks) payload
+    instead of the whole list.  Returns (doc_ids, tfs) restricted to
+    ``want_ids``.
+    """
+    ids: List[np.ndarray] = []
+    tfs: List[np.ndarray] = []
+    for bi in range(len(packed.block_first)):
+        lo = int(np.searchsorted(want_ids, packed.block_first[bi], "left"))
+        hi = int(np.searchsorted(want_ids, packed.block_last[bi], "right"))
+        if lo >= hi:
+            continue
+        d, t = unpack_block(packed, bi)
+        pos = np.searchsorted(want_ids, d)
+        pos_c = np.minimum(pos, len(want_ids) - 1)
+        mask = want_ids[pos_c] == d
+        if mask.any():
+            ids.append(d[mask])
+            tfs.append(t[mask])
+    if not ids:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(ids), np.concatenate(tfs)

@@ -126,6 +126,22 @@ def rp_lsh_buckets(
     )
 
 
+def lsh_bucket_of(
+    vec: np.ndarray, n_planes: int = N_PLANES, table: int = 0
+) -> int:
+    """numpy twin of the bucket expression, for OUT-OF-CORPUS query
+    vectors (the hybrid service embeds queries driver-side): exact
+    integer arithmetic → guaranteed to match the Spark/SQL buckets."""
+    vq = np.floor(np.asarray(vec, dtype=np.float64) * QUANT).astype(np.int64)
+    d = np.arange(len(vq), dtype=np.int64)
+    bucket = 0
+    for p in range(n_planes):
+        coeff = (p * 131 + d * 31 + table * 277) % 17 - 8
+        if int((vq * coeff).sum()) > 0:
+            bucket |= 1 << p
+    return bucket
+
+
 def rp_lsh_tables(
     embeddings: DataFrame,
     n_tables: int = N_TABLES,

