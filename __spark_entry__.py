@@ -184,6 +184,72 @@ def q_stale_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_FAISS_K = 100
+HYBRID_SIM_THRESHOLD = 0.1
+HYBRID_LIMIT = 50
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hybrid pipeline as ONE contract query (F16/A5/W1/W2
+    jointly): in-corpus query vector (vec QUERY_VEC_ID) → cosine
+    top-faiss_k candidates → similarity threshold → candidate BM25
+    (FLAGSHIP_QUERY, SQL analyzer) → reference min-max normalize +
+    weighted combine (query/hybrid.combine_df, exact search.py:687-777
+    rules) → top-limit by final score.  PageRank signal is the
+    deterministic stand-in 1/(1+doc_id) (exact in both engines)."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.query import hybrid
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    sims = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                S._dot("embedding", "qvec")
+                / (S._norm("embedding") * S._norm("qvec"))
+            ).alias("sim"),
+        )
+    )
+    top = sims.orderBy(F.desc("sim"), F.asc("vec_id")).limit(HYBRID_FAISS_K)
+    cand = top.where(F.col("sim") >= HYBRID_SIM_THRESHOLD).select(
+        F.col("vec_id").alias("doc_id"), "sim"
+    )
+
+    analyzed = _analyzed(spark, sf_dir)
+    bm = df_scorer.score_query(
+        spark,
+        A.term_doc_tf(analyzed),
+        A.doc_stats(analyzed),
+        tokenize(FLAGSHIP_QUERY),
+        k=1_000_000_000,  # full relation; the candidate join prunes
+    ).select("doc_id", F.col("score").alias("bm25_raw"))
+
+    joined = cand.join(F.broadcast(bm), "doc_id").select(
+        "doc_id",
+        "sim",
+        (F.lit(1.0) / (F.lit(1) + F.col("doc_id"))).alias("pagerank"),
+        F.greatest(F.lit(0.0), F.col("bm25_raw")).alias("bm25"),
+    )
+    combined = hybrid.combine_df(joined)
+    return (
+        combined.select(
+            "doc_id",
+            F.round("final_score", 6).alias("final_score"),
+            F.round("norm_similarity", 6).alias("norm_similarity"),
+            F.round("norm_pagerank", 6).alias("norm_pagerank"),
+            F.round("norm_bm25", 6).alias("norm_bm25"),
+        )
+        .orderBy(F.desc("final_score"), F.asc("doc_id"))
+        .limit(HYBRID_LIMIT)
+    )
+
+
 # --------------------------------------------------------------------
 # queries registry
 # --------------------------------------------------------------------
@@ -221,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_minmax_norm": R.acctbal_minmax_norm,
         "pricing_summary": R.pricing_summary,
         "event_sessionization": R.event_sessionization,
+        # full hybrid pipeline (F16/A5 jointly, service parity)
+        "hybrid_topk": q_hybrid_topk,
         # pure SQL-API surface
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "sql_lang_doc_stats": q_sql_lang_doc_stats,
@@ -509,6 +577,87 @@ FROM dots
 JOIN norms na ON na.vec_id = vec_a
 JOIN norms nb ON nb.vec_id = vec_b
 WHERE dot / (na.nrm * nb.nrm) >= 0.4
+"""
+
+# hybrid pipeline (candidates → threshold → BM25 → normalize+combine) --
+
+_HYBRID_SQL = f"""
+WITH {_TOK},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM docs),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT unnest(regexp_extract_all(lower('{FLAGSHIP_QUERY}'), '\\w+')) AS term
+),
+qt AS (SELECT term, CAST(count(*) AS DOUBLE) AS qtf FROM qterms GROUP BY term),
+qidf AS (
+  SELECT qt.term, qt.qtf, ln(stats.n_docs + 1.0) - ln(dfreq.df) AS idf
+  FROM qt JOIN dfreq USING (term) CROSS JOIN stats
+),
+const AS (SELECT coalesce(sum(qtf * idf * 1.0), 0.0) AS c FROM qidf),
+matched AS (
+  SELECT tf.doc_id,
+         sum(qidf.qtf * qidf.idf * (tf.tf * 2.5)
+             / (1.5 * (0.25 + 0.75 * docs.doc_len / stats.avgdl) + tf.tf)) AS s
+  FROM tf
+  JOIN qidf USING (term)
+  JOIN docs USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT d.doc_id, coalesce(m.s, 0.0) + const.c AS bm25_raw
+  FROM docs d LEFT JOIN matched m USING (doc_id) CROSS JOIN const
+),
+{_COSINE_PRE},
+sims AS (
+  SELECT vec_id, dot / (sqrt(n2) * qn.qnorm) AS sim
+  FROM dots CROSS JOIN qn WHERE vec_id <> {QUERY_VEC_ID}
+),
+top AS (
+  SELECT vec_id, sim FROM sims
+  ORDER BY sim DESC, vec_id ASC LIMIT {HYBRID_FAISS_K}
+),
+cand AS (
+  SELECT t.vec_id AS doc_id, t.sim,
+         CAST(1 AS DOUBLE) / (1 + t.vec_id) AS pr,
+         greatest(CAST(0 AS DOUBLE), bm.bm25_raw) AS bm25
+  FROM top t JOIN bm ON bm.doc_id = t.vec_id
+  WHERE t.sim >= {HYBRID_SIM_THRESHOLD}
+),
+agg AS (
+  SELECT count(*) AS cnt,
+         min(sim) AS slo, max(sim) AS shi,
+         min(pr) AS plo, max(pr) AS phi,
+         min(bm25) AS blo, max(bm25) AS bhi
+  FROM cand
+),
+normed AS (
+  SELECT doc_id,
+    greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE),
+      CASE WHEN shi - slo > 1e-9 THEN (sim - slo) / (shi - slo)
+           WHEN cnt = 1 AND sim > 1e-9 THEN CAST(1 AS DOUBLE)
+           WHEN shi - slo <= 1e-9 AND shi <= 1e-9 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(0.5 AS DOUBLE) END)) AS ns,
+    greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE),
+      CASE WHEN phi - plo > 1e-9 THEN (pr - plo) / (phi - plo)
+           WHEN phi > 1e-9 THEN CAST(1 AS DOUBLE)
+           ELSE CAST(0 AS DOUBLE) END)) AS npr,
+    greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE),
+      CASE WHEN bhi - blo > 1e-9 THEN (bm25 - blo) / (bhi - blo)
+           WHEN bhi > 1e-9 THEN CAST(1 AS DOUBLE)
+           ELSE CAST(0 AS DOUBLE) END)) AS nb
+  FROM cand CROSS JOIN agg
+)
+SELECT doc_id,
+       round(CAST(1.0 AS DOUBLE) * ns + CAST(0.2 AS DOUBLE) * npr
+             + CAST(1.0 AS DOUBLE) * nb, 6) AS final_score,
+       round(ns, 6) AS norm_similarity,
+       round(npr, 6) AS norm_pagerank,
+       round(nb, 6) AS norm_bm25
+FROM normed
+ORDER BY round(CAST(1.0 AS DOUBLE) * ns + CAST(0.2 AS DOUBLE) * npr
+               + CAST(1.0 AS DOUBLE) * nb, 6) DESC, doc_id ASC
+LIMIT {HYBRID_LIMIT}
 """
 
 # text analysis ---------------------------------------------------------
@@ -865,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_merge": _SNAPSHOT_MERGE_SQL,
         "stale_docs": _STALE_SQL,
+        "hybrid_topk": _HYBRID_SQL,
         "pagerank_supplier_part": _PAGERANK_SQL,
         "video_frame_sample": _FRAME_SAMPLE_SQL,
         "audio_features": _AUDIO_SQL,

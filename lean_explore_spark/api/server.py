@@ -1,0 +1,191 @@
+"""Thin HTTP serving layer — reference entry point A/B parity.
+
+Mirrors the reference FastAPI surface (src/lean_explore/api/server.py:
+66-113) and its response models (shared/models/api.py:40-120) over the
+Spark-backed ``SearchService``, with stdlib ``http.server`` only (no
+web framework in this container):
+
+    GET /api/v1/heartbeat
+    GET /api/v1/search?q=&pkg=&limit=
+    GET /api/v1/statement_groups/{id}
+    GET /api/v1/statement_groups/{id}/dependencies
+
+Field names in every JSON body match the reference pydantic models
+exactly (APISearchResponse / APISearchResultItem /
+APICitationsResponse) so a reference client can point at this server —
+asserted in tests/test_api_server.py.  The reference's ``pkg`` package
+filter maps to this engine's lang filter (SURVEY.md §3.2); document
+identity maps statement-group id → doc_id, source_file → url.
+
+Serving is driver-process HTTP over the preloaded engine: the Spark
+session does the heavy lifting (candidate scan, BM25) and the handler
+threads only orchestrate — the same shape as the reference's FastAPI
+worker calling its preloaded LocalService.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+from lean_explore_spark.query.service import SearchResult, SearchService
+
+ROOT = "/api/v1"
+
+
+def _result_item(
+    doc_id: int,
+    meta: Dict[int, dict],
+    r: Optional[SearchResult] = None,
+) -> dict:
+    """APISearchResultItem shape (shared/models/api.py:40-73)."""
+    m = meta.get(doc_id, {})
+    text = m.get("text", "")
+    item = {
+        "id": int(doc_id),
+        "primary_declaration": {"lean_name": m.get("url") or f"doc/{doc_id}"},
+        "source_file": m.get("url") or "",
+        "range_start_line": 1,
+        "range_end_line": 1 + text.count("\n"),
+        "display_statement_text": text[:200],
+        "statement_text": text,
+        "docstring": None,
+        "informal_description": None,
+    }
+    if r is not None:
+        # scoring extras the reference also serializes on results
+        item["final_score"] = r.final_score
+        item["raw_similarity"] = r.raw_similarity
+        item["raw_bm25"] = r.raw_bm25
+    return item
+
+
+class SearchAPI:
+    """Route logic, separated from the HTTP plumbing for direct tests."""
+
+    def __init__(
+        self,
+        service: SearchService,
+        doc_meta: Optional[object] = None,
+        dependencies: Optional[Dict[int, List[int]]] = None,
+    ) -> None:
+        self.service = service
+        self._meta: Dict[int, dict] = {}
+        if doc_meta is not None:
+            cols = [c for c in ("doc_id", "url", "text") if c in doc_meta.columns]
+            for row in doc_meta.select(*cols).collect():
+                d = row.asDict()
+                self._meta[int(d["doc_id"])] = d
+        self.dependencies = dependencies or {}
+
+    def heartbeat(self) -> dict:
+        return {"status": "ok"}
+
+    def search(
+        self, q: str, pkg: Optional[List[str]], limit: int
+    ) -> dict:
+        t0 = time.time()
+        results = self.service.search(
+            q, limit=limit, lang_filter=pkg or None
+        )
+        return {
+            "query": q,
+            "packages_applied": pkg,
+            "results": [
+                _result_item(r.doc_id, self._meta, r) for r in results
+            ],
+            "count": len(results),
+            "total_candidates_considered": len(results),
+            "processing_time_ms": int((time.time() - t0) * 1000),
+        }
+
+    def get_by_id(self, group_id: int) -> Optional[dict]:
+        if group_id not in self._meta:
+            return None
+        return _result_item(group_id, self._meta)
+
+    def get_dependencies(self, group_id: int) -> Optional[dict]:
+        if group_id not in self._meta:
+            return None
+        cites = self.dependencies.get(group_id, [])
+        return {
+            "source_group_id": group_id,
+            "citations": [_result_item(c, self._meta) for c in cites],
+            "count": len(cites),
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    api: SearchAPI  # set by serve()
+
+    def log_message(self, *a):  # pragma: no cover - silence test noise
+        pass
+
+    def _send(self, code: int, body: dict) -> None:
+        data = json.dumps(body).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self) -> None:  # noqa: N802 - stdlib API
+        u = urlparse(self.path)
+        path, qs = u.path, parse_qs(u.query)
+        if path == f"{ROOT}/heartbeat":
+            return self._send(200, self.api.heartbeat())
+        if path == f"{ROOT}/search":
+            q = qs.get("q", [""])[0]
+            if not q:
+                return self._send(422, {"detail": "q is required"})
+            pkg = qs.get("pkg")
+            limit = int(qs.get("limit", ["50"])[0])
+            return self._send(200, self.api.search(q, pkg, limit))
+        parts = path.strip("/").split("/")
+        # api/v1/statement_groups/{id}[/dependencies]
+        if len(parts) >= 4 and parts[2] == "statement_groups":
+            try:
+                gid = int(parts[3])
+            except ValueError:
+                return self._send(422, {"detail": "invalid id"})
+            if len(parts) == 4:
+                item = self.api.get_by_id(gid)
+            elif len(parts) == 5 and parts[4] == "dependencies":
+                item = self.api.get_dependencies(gid)
+            else:
+                return self._send(404, {"detail": "not found"})
+            if item is None:
+                return self._send(404, {"detail": "not found"})
+            return self._send(200, item)
+        self._send(404, {"detail": "not found"})
+
+
+class APIServer:
+    """Threaded stdlib server wrapper: ``start()`` binds an ephemeral
+    port (or the one given) and serves until ``stop()``."""
+
+    def __init__(self, api: SearchAPI, host: str = "127.0.0.1", port: int = 0):
+        handler = type("Handler", (_Handler,), {"api": api})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def url(self) -> str:
+        h, p = self.httpd.server_address[:2]
+        return f"http://{h}:{p}{ROOT}"
+
+    def start(self) -> "APIServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=10)

@@ -172,12 +172,22 @@ class IndexBuilder:
         ).collect()[0]
         n_docs, max_id = int(bounds["n"]), int(bounds["max_id"])
         if self.num_shards is None:
-            self.num_shards = max(1, math.ceil((max_id + 1) / self.span_target))
-        span = max(1, math.ceil((max_id + 1) / self.num_shards))
+            # size shards by COUNT, not id range: hash doc-ids span
+            # [0, 2^62) uniformly, so ceil(n/span_target) shards each
+            # hold ~span_target docs; dense ids give the same answer
+            self.num_shards = max(1, math.ceil(n_docs / self.span_target))
+        # INTEGER ceil-div: math.ceil(x / n) goes through a float and
+        # at 2^62-scale ids rounds DOWN, making max_id div span ==
+        # num_shards — a phantom shard that is never packed
+        span = max(1, -((max_id + 1) // -self.num_shards))
         (
             A.analyze(docs, stem=self.stem)
             .withColumn(
-                "shard", F.floor(F.col("doc_id") / F.lit(span)).cast("int")
+                # integer `div`, NOT floor(double /): at 2^62-scale
+                # hash ids the double quotient rounds across shard
+                # boundaries (a doc near max_id landed in a phantom
+                # shard == num_shards and was never packed)
+                "shard", F.expr(f"cast(doc_id div {span} as int)")
             )
             .write.partitionBy("shard")
             .mode("overwrite")
@@ -271,8 +281,17 @@ class IndexBuilder:
         ).withColumn("bucket", term_bucket_col(num_buckets))
         doc_stats_root = str(self.paths.doc_stats)
 
+        # pack output carries two lineage columns the manifest stage
+        # aggregates WITHOUT re-reading payloads: payload_bytes and a
+        # per-row md5 fold (fp).  Readers use POSTINGS_SCHEMA and never
+        # see them (parquet column pruning).
         pack_schema = StructType(
-            [StructField("shard", IntegerType())] + POSTINGS_SCHEMA.fields
+            [StructField("shard", IntegerType())]
+            + POSTINGS_SCHEMA.fields
+            + [
+                StructField("payload_bytes", LongType()),
+                StructField("fp", LongType()),
+            ]
         )
 
         cols = [
@@ -288,6 +307,8 @@ class IndexBuilder:
             "block_max_score",
             "block_max_tf",
             "payload",
+            "payload_bytes",
+            "fp",
         ]
 
         def pack_stream(batches):
@@ -323,6 +344,8 @@ class IndexBuilder:
                 return dl_cache[shard]
 
             def flush():
+                import hashlib as _hl
+
                 if cur_key is None or not bufs:
                     return
                 if len(bufs) > 1:
@@ -349,6 +372,10 @@ class IndexBuilder:
                         p.block_max_score.tolist(),
                         p.block_max_tf.tolist(),
                         p.payload,
+                        len(p.payload),
+                        # same 15-hex-digit fold as the r1 SQL variant
+                        # (conv(substring(md5(payload),1,15),16,10))
+                        int(_hl.md5(p.payload).hexdigest()[:15], 16),
                     )
                 )
 
@@ -371,6 +398,8 @@ class IndexBuilder:
                             pa.field("block_max_score", pa.list_(pa.float64())),
                             pa.field("block_max_tf", pa.list_(pa.int32())),
                             pa.field("payload", pa.binary()),
+                            pa.field("payload_bytes", pa.int64()),
+                            pa.field("fp", pa.int64()),
                         ]
                     ),
                 )
@@ -432,11 +461,20 @@ class IndexBuilder:
             .parquet(str(self.paths.postings))
         )
 
-        # per-shard lineage metrics from what was actually written
+        # per-shard lineage metrics from what was actually written —
+        # the packer pre-computed payload_bytes + fp per row, so this
+        # pass reads FOUR small columns (parquet column pruning skips
+        # the payloads: r1's re-read of everything just written was the
+        # manifest stage's scaling floor)
         out: List[dict] = []
         committed_at = time.time()
         read_schema = StructType(
-            POSTINGS_SCHEMA.fields + [StructField("shard", IntegerType())]
+            [
+                StructField("df_shard", LongType()),
+                StructField("payload_bytes", LongType()),
+                StructField("fp", LongType()),
+                StructField("shard", IntegerType()),
+            ]
         )
         written = (
             spark.read.schema(read_schema)
@@ -448,13 +486,10 @@ class IndexBuilder:
             .agg(
                 F.count("*").alias("n_terms"),
                 F.sum("df_shard").alias("n_postings"),
-                F.sum(F.length("payload")).alias("payload_bytes"),
+                F.sum("payload_bytes").alias("payload_bytes"),
                 # order-independent content fingerprint; bit_xor cannot
                 # overflow (Spark 4 ANSI mode makes sum() throw on it)
-                F.expr(
-                    "bit_xor(cast(conv(substring(md5(payload), 1, 15), 16, 10)"
-                    " as bigint))"
-                ).alias("fingerprint"),
+                F.expr("bit_xor(fp)").alias("fingerprint"),
             )
             .collect()
         )

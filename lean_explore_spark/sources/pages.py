@@ -157,13 +157,44 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.withColumn("extracted_text", _extract(F.col("html")))
 
 
-def assign_doc_ids(pages: DataFrame) -> DataFrame:
-    """Deterministic docID = dense rank over url (SURVEY.md §1.2).
+def assign_doc_ids(
+    pages: DataFrame, method: str = "hash", validate: bool = True
+) -> DataFrame:
+    """Deterministic docID per url (SURVEY.md §1.2 / §4.4 trade-off).
 
-    Exact but a global sort; at 10^12 docs the scale-out alternative is
-    a collision-checked url hash (documented trade-off, SURVEY.md §4.4).
+    ``method="hash"`` (default, the scale path): doc_id =
+    ``shiftrightunsigned(xxhash64(url), 2)`` ∈ [0, 2^62) — a pure
+    narrow map, no shuffle, no global sort; ids are uniform so the
+    builder's range shards stay balanced.  ``validate=True`` runs ONE
+    count-vs-count-distinct aggregate and raises on a collision (at
+    62 bits the birthday bound bites around 10^9 urls; a true 10^12
+    deployment widens to a 128-bit split id — two columns — or resolves
+    collisions with a salted rehash pass; this engine raises rather
+    than silently merging two urls into one docID).
+
+    ``method="dense"``: dense rank over url — exact 0..N-1 ids but a
+    single-task global sort (``Window.orderBy`` with no partitionBy),
+    the r1 VERDICT scale-killer; kept as the opt-in for small corpora
+    that want compact ids.
     """
-    w = Window.orderBy("url")
-    return pages.withColumn(
-        "doc_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+    if method == "dense":
+        w = Window.orderBy("url")
+        return pages.withColumn(
+            "doc_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+    if method != "hash":
+        raise ValueError(f"unknown doc-id method {method!r}")
+    ids = pages.withColumn(
+        "doc_id", F.expr("shiftrightunsigned(xxhash64(url), 2)")
     )
+    if validate:
+        row = ids.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("d"),
+        ).collect()[0]
+        if int(row["n"]) != int(row["d"]):
+            raise ValueError(
+                f"doc_id hash collision: {row['n']} urls -> {row['d']} ids;"
+                " widen to split 128-bit ids or use method='dense'"
+            )
+    return ids

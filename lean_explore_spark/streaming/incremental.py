@@ -204,17 +204,17 @@ def compact(spark: SparkSession, index_root: str, out_dir: str, **kw) -> dict:
     if out.exists():
         shutil.rmtree(out)
     out.mkdir(parents=True)
-    import math as _math
-
     import pyspark.sql.functions as F
 
     bounds = staged.agg(
         F.count("*").alias("n"), F.max("doc_id").alias("m")
     ).collect()[0]
-    span = max(1, _math.ceil((int(bounds["m"]) + 1) / builder.num_shards))
+    # integer ceil-div (float math.ceil is lossy at 2^62 ids, builder)
+    span = max(1, -((int(bounds["m"]) + 1) // -builder.num_shards))
     (
         staged.withColumn(
-            "shard", F.floor(F.col("doc_id") / F.lit(span)).cast("int")
+            # integer `div`: exact at 2^62-scale hash ids (see builder)
+            "shard", F.expr(f"cast(doc_id div {span} as int)")
         )
         .write.partitionBy("shard")
         .mode("overwrite")

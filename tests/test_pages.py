@@ -47,9 +47,42 @@ def test_schema_and_langs(spark):
 
 
 def test_doc_ids_dense_rank_over_url(spark):
-    df = P.assign_doc_ids(P.generate_pages(spark, 100, partitions=3))
+    df = P.assign_doc_ids(
+        P.generate_pages(spark, 100, partitions=3), method="dense"
+    )
     rows = df.select("url", "doc_id").orderBy("url").collect()
     assert [r["doc_id"] for r in rows] == list(range(100))
+
+
+def test_doc_ids_hash_default(spark):
+    """Default hash ids: pure function of url (identical across
+    partitionings — no window, no global sort), collision-validated,
+    inside [0, 2^62)."""
+    a = {
+        r["url"]: r["doc_id"]
+        for r in P.assign_doc_ids(
+            P.generate_pages(spark, 500, partitions=1)
+        ).collect()
+    }
+    b = {
+        r["url"]: r["doc_id"]
+        for r in P.assign_doc_ids(
+            P.generate_pages(spark, 500, partitions=16)
+        ).collect()
+    }
+    assert a == b
+    assert len(set(a.values())) == 500
+    assert all(0 <= v < 1 << 62 for v in a.values())
+
+
+def test_doc_ids_hash_plan_is_narrow(spark):
+    """The hash path must not shuffle: no Exchange/Window in the plan
+    (validate=False isolates the id assignment itself)."""
+    df = P.assign_doc_ids(
+        P.generate_pages(spark, 10, partitions=2), validate=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
 
 
 def test_pages_to_index_rank_identical(spark, tmp_path):
