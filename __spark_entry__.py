@@ -250,6 +250,38 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table: train nlist=8 coarse
+    centroids, probe 4, exact rerank — (vec_id, cos) scalars."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    centroids, assigned = S.ivf_build(emb, nlist=8)
+    qvec = np.asarray(
+        emb.where(f"vec_id = {QUERY_VEC_ID}").head()["embedding"],
+        dtype=np.float64,
+    )
+    out = S.ivf_topk(emb, assigned, centroids, qvec, k=21, nprobe=4)
+    return out.where(f"vec_id <> {QUERY_VEC_ID}").limit(20)
+
+
+def q_embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched embedding over documents, flattened to scalar rows
+    (driver canonicalizer cannot hash array columns)."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import embed as EM
+
+    vecs = EM.embed_texts(_docs(spark, sf_dir))
+    return vecs.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "value")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 # --------------------------------------------------------------------
 # queries registry
 # --------------------------------------------------------------------
@@ -312,6 +344,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ensure_py_files(s),
             M.audio_features(M.generate_media(s, 300)),
         )[1],
+        # IVF ANN (trained coarse quantizer — iterative kmeans, not
+        # SQL-expressible → rows-only; exactness vs brute force is
+        # pytest-asserted in tests/test_ivf_embed.py)
+        "ivf_topk": q_ivf_topk,
+        # batched executor-side embedding (G3 shape; hash kernel —
+        # Philox RNG not SQL-expressible → rows-only; batch-invariance
+        # and stub parity pytest-asserted)
+        "embed_texts": q_embed_texts,
     }
 
 

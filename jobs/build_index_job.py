@@ -73,6 +73,7 @@ def main(argv=None) -> dict:
         "tokens_per_sec": round(stats["total_tokens"] / wall, 1),
         "n_postings": int(m["sum(n_postings)"]),
         "payload_bytes": int(m["sum(payload_bytes)"]),
+        "stage_timings": stats.get("stage_timings", {}),
     }
     print(json.dumps(out))
     return out

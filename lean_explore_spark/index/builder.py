@@ -84,6 +84,32 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
+# per-PYTHON-WORKER doc-stats cache: executors reuse worker processes
+# across tasks, so each (doc_stats_root, shard) slice is read from
+# parquet once per worker instead of once per pack task (512 tasks ×
+# pq.read_table was a measurable slice of the pack stage)
+_DL_WORKER_CACHE: dict = {}
+
+
+def _worker_doc_lens(doc_stats_root: str, shard: int):
+    key = (doc_stats_root, shard)
+    if key not in _DL_WORKER_CACHE:
+        if len(_DL_WORKER_CACHE) >= 64:  # bound worker memory across waves
+            _DL_WORKER_CACHE.clear()
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{doc_stats_root}/shard={shard}", columns=["doc_id", "doc_len"]
+        )
+        ids = t.column("doc_id").to_numpy()
+        order = ids.argsort()
+        _DL_WORKER_CACHE[key] = (
+            ids[order],
+            t.column("doc_len").to_numpy()[order],
+        )
+    return _DL_WORKER_CACHE[key]
+
+
 def term_bucket(term: str, num_buckets: int) -> int:
     """Deterministic term→bucket, identical in Python (query-time
     driver lookups) and as the JVM expression
@@ -250,19 +276,16 @@ class IndexBuilder:
             return set()
         return {int(r["shard"]) for r in rows if r["status"] == "committed"}
 
-    def pack_shards(self, shards: List[int], avgdl: float) -> List[dict]:
-        """Pack a wave of doc-shards in ONE Spark job.
+    def _pack_plan(self, shards: List[int], avgdl: float) -> DataFrame:
+        """The pack DataFrame for a wave of doc-shards (no action).
 
         Shuffle shape: ONE exchange — ``repartition(shard, bucket)`` +
         ``sortWithinPartitions(shard, bucket, term, doc_id)`` — then a
-        STREAMING mapInPandas packer that detects (shard, term) runs
-        vectorized across Arrow batches.  No groupBy: a per-term
-        applyInPandas pays pandas-group overhead per term (~1 ms × |vocab
-        × shards| groups dominated the build); the streaming packer's
-        per-task state is one term-run, bounded by the shard span (the
-        skew defuse).  Write uses dynamic partition overwrite so only
-        this wave's shard=/bucket= dirs are replaced; each (shard,
-        bucket) lands in exactly one task → one file per partition dir.
+        fully VECTORIZED mapInArrow packer (see pack_stream).  No
+        groupBy: a per-term applyInPandas pays pandas-group overhead
+        per term (~1 ms × |vocab × shards| groups dominated the r0
+        build); per-task state is bounded by span × bucket share (the
+        skew defuse).
         """
         spark = self.spark
         num_buckets = self.num_buckets
@@ -312,133 +335,151 @@ class IndexBuilder:
         ]
 
         def pack_stream(batches):
-            # mapInArrow, not mapInPandas: converting 10^7 term strings
-            # to pandas objects dominated this stage; Arrow keeps the
-            # strings in C++ -- run boundaries come from pc.not_equal on
-            # sliced arrays, numerics are zero-copy numpy, and only ONE
-            # Python string materializes per (shard, term) run.
+            # FULLY VECTORIZED packer (r2): the r1 streaming variant ran
+            # ~60µs of per-(shard,term)-run Python (pack_postings call,
+            # small-array allocs, two varint_encode calls per block) —
+            # at 166k runs that WAS the pack stage (~10s of its 13s).
+            # A task's input is bounded (each (shard,bucket) group ≤
+            # span × its bucket share), so we accumulate the task's
+            # Arrow batches, then compute run/block boundaries, ranks,
+            # gaps, block metadata (np.maximum/add.reduceat) and ONE
+            # varint encode for all gaps + one for all tfs; the only
+            # per-run Python left is byte-slicing + md5 + row emit.
+            import hashlib as _hl
+
             import numpy as np
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            cur_key = None  # (shard, term)
-            cur_bucket = 0
-            bufs: List[tuple] = []  # (ids, tfs) numpy slices
+            got = [rb for rb in batches if rb.num_rows]
+            if not got:
+                return
+            tbl = pa.Table.from_batches(got).combine_chunks()
+            del got
+            n = tbl.num_rows
+            shard_np = tbl.column("shard").to_numpy()
+            ids = tbl.column("doc_id").to_numpy()
+            tfs_np = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
+            bucket_np = tbl.column("bucket").to_numpy()
+            terms = tbl.column("term").chunk(0)
+
+            # run boundaries: term change or shard change (input sorted
+            # by shard, bucket, term, doc_id)
+            change = np.ones(n, dtype=bool)
+            if n > 1:
+                neq = pc.not_equal(
+                    terms.slice(1), terms.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                change[1:] = neq | (shard_np[1:] != shard_np[:-1])
+            run_start = np.flatnonzero(change)
+            run_of_row = np.cumsum(change) - 1
+            run_end = np.append(run_start[1:], n)
+
+            # ranks + doc lens: one searchsorted per shard segment,
+            # doc-stats slice from the per-worker cache
+            from lean_explore_spark.index.builder import _worker_doc_lens
+
+            ranks = np.empty(n, dtype=np.int64)
+            dls = np.empty(n, dtype=np.int64)
+            for shard in np.unique(shard_np):
+                d_ids, d_lens = _worker_doc_lens(doc_stats_root, int(shard))
+                m = shard_np == shard
+                pos = np.searchsorted(d_ids, ids[m])
+                ranks[m] = pos
+                dls[m] = d_lens[pos]
+
+            x = codec.bm25_tf_part(tfs_np, dls, avgdl)
+
+            # block boundaries within runs
+            offset_in_run = np.arange(n, dtype=np.int64) - run_start[run_of_row]
+            block_start = (offset_in_run % block_size) == 0
+            bstart = np.flatnonzero(block_start)
+            bend = np.append(bstart[1:], n)
+            block_first = ids[bstart]
+            block_last = ids[bend - 1]
+            block_count = (bend - bstart).astype(np.int32)
+            block_max_score = np.maximum.reduceat(x, bstart)
+            block_max_tf = np.maximum.reduceat(tfs_np, bstart).astype(np.int32)
+
+            # rank gaps (0 at block starts → blocks decode independently)
+            d = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                d[1:] = ranks[1:] - ranks[:-1]
+            d[block_start] = 0
+            g_bytes, g_sz = codec.varint_encode_sized(d.astype(np.uint64))
+            t_bytes, t_sz = codec.varint_encode_sized(tfs_np.astype(np.uint64))
+            g_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(g_sz, out=g_off[1:])
+            t_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(t_sz, out=t_off[1:])
+            block_gap_bytes = np.add.reduceat(g_sz, bstart).astype(np.int32)
+            block_tf_bytes = np.add.reduceat(t_sz, bstart).astype(np.int32)
+
+            # per-run block ranges (every run start IS a block start)
+            run_b0 = np.searchsorted(bstart, run_start)
+            run_b1 = np.append(run_b0[1:], len(bstart))
+
+            mv_g = memoryview(g_bytes)
+            mv_t = memoryview(t_bytes)
+            schema = pa.schema(
+                [
+                    pa.field("shard", pa.int32()),
+                    pa.field("term", pa.string()),
+                    pa.field("bucket", pa.int32()),
+                    pa.field("df_shard", pa.int64()),
+                    pa.field("block_first", pa.list_(pa.int64())),
+                    pa.field("block_last", pa.list_(pa.int64())),
+                    pa.field("block_count", pa.list_(pa.int32())),
+                    pa.field("block_gap_bytes", pa.list_(pa.int32())),
+                    pa.field("block_tf_bytes", pa.list_(pa.int32())),
+                    pa.field("block_max_score", pa.list_(pa.float64())),
+                    pa.field("block_max_tf", pa.list_(pa.int32())),
+                    pa.field("payload", pa.binary()),
+                    pa.field("payload_bytes", pa.int64()),
+                    pa.field("fp", pa.int64()),
+                ]
+            )
             out_rows: List[tuple] = []
-            dl_cache: dict = {}  # shard -> (sorted doc_ids, doc_lens)
-
-            def shard_doc_lens(shard: int):
-                if shard not in dl_cache:
-                    import pyarrow.parquet as pq
-
-                    tbl = pq.read_table(
-                        f"{doc_stats_root}/shard={shard}",
-                        columns=["doc_id", "doc_len"],
-                    )
-                    ids = tbl.column("doc_id").to_numpy()
-                    order = ids.argsort()
-                    dl_cache[shard] = (
-                        ids[order],
-                        tbl.column("doc_len").to_numpy()[order],
-                    )
-                return dl_cache[shard]
-
-            def flush():
-                import hashlib as _hl
-
-                if cur_key is None or not bufs:
-                    return
-                if len(bufs) > 1:
-                    ids = np.concatenate([b[0] for b in bufs])
-                    tfs = np.concatenate([b[1] for b in bufs])
-                else:
-                    ids, tfs = bufs[0]
-                dl_ids, dl_lens = shard_doc_lens(int(cur_key[0]))
-                dls = dl_lens[np.searchsorted(dl_ids, ids)]
-                p = codec.pack_postings(
-                    ids, tfs, dls, avgdl=avgdl, block_size=block_size
-                )
-                out_rows.append(
-                    (
-                        int(cur_key[0]),
-                        cur_key[1],
-                        int(cur_bucket),
-                        p.count,
-                        p.block_first.tolist(),
-                        p.block_last.tolist(),
-                        p.block_count.tolist(),
-                        p.block_gap_bytes.tolist(),
-                        p.block_tf_bytes.tolist(),
-                        p.block_max_score.tolist(),
-                        p.block_max_tf.tolist(),
-                        p.payload,
-                        len(p.payload),
-                        # same 15-hex-digit fold as the r1 SQL variant
-                        # (conv(substring(md5(payload),1,15),16,10))
-                        int(_hl.md5(p.payload).hexdigest()[:15], 16),
-                    )
-                )
 
             def emit():
-                import pyarrow as pa
-
                 batch = pa.RecordBatch.from_pydict(
-                    dict(zip(cols, map(list, zip(*out_rows)))),
-                    schema=pa.schema(
-                        [
-                            pa.field("shard", pa.int32()),
-                            pa.field("term", pa.string()),
-                            pa.field("bucket", pa.int32()),
-                            pa.field("df_shard", pa.int64()),
-                            pa.field("block_first", pa.list_(pa.int64())),
-                            pa.field("block_last", pa.list_(pa.int64())),
-                            pa.field("block_count", pa.list_(pa.int32())),
-                            pa.field("block_gap_bytes", pa.list_(pa.int32())),
-                            pa.field("block_tf_bytes", pa.list_(pa.int32())),
-                            pa.field("block_max_score", pa.list_(pa.float64())),
-                            pa.field("block_max_tf", pa.list_(pa.int32())),
-                            pa.field("payload", pa.binary()),
-                            pa.field("payload_bytes", pa.int64()),
-                            pa.field("fp", pa.int64()),
-                        ]
-                    ),
+                    dict(zip(cols, map(list, zip(*out_rows)))), schema=schema
                 )
                 out_rows.clear()
                 return batch
 
-            for rb in batches:
-                n = rb.num_rows
-                if n == 0:
-                    continue
-                shard_np = rb.column("shard").to_numpy()
-                ids_np = rb.column("doc_id").to_numpy()
-                tfs_np = rb.column("tf").to_numpy()
-                bucket_np = rb.column("bucket").to_numpy()
-                terms = rb.column("term")
-                change = np.ones(n, dtype=bool)
-                if n > 1:
-                    neq = pc.not_equal(
-                        terms.slice(1), terms.slice(0, n - 1)
-                    ).to_numpy(zero_copy_only=False)
-                    change[1:] = neq | (shard_np[1:] != shard_np[:-1])
-                starts = np.flatnonzero(change)
-                ends = np.append(starts[1:], n)
-                for s, e in zip(starts, ends):
-                    key = (int(shard_np[s]), terms[int(s)].as_py())
-                    if key != cur_key:
-                        flush()
-                        bufs.clear()
-                        cur_key = key
-                        cur_bucket = int(bucket_np[s])
-                    bufs.append(
-                        (
-                            ids_np[s:e].astype(np.int64, copy=False),
-                            tfs_np[s:e].astype(np.int64, copy=False),
-                        )
+            n_runs = len(run_start)
+            for ri in range(n_runs):
+                b0, b1 = int(run_b0[ri]), int(run_b1[ri])
+                pieces = []
+                for b in range(b0, b1):
+                    rs, re = int(bstart[b]), int(bend[b])
+                    pieces.append(mv_g[g_off[rs] : g_off[re]])
+                    pieces.append(mv_t[t_off[rs] : t_off[re]])
+                payload = b"".join(pieces)
+                s = int(run_start[ri])
+                out_rows.append(
+                    (
+                        int(shard_np[s]),
+                        terms[s].as_py(),
+                        int(bucket_np[s]),
+                        int(run_end[ri] - s),
+                        block_first[b0:b1].tolist(),
+                        block_last[b0:b1].tolist(),
+                        block_count[b0:b1].tolist(),
+                        block_gap_bytes[b0:b1].tolist(),
+                        block_tf_bytes[b0:b1].tolist(),
+                        block_max_score[b0:b1].tolist(),
+                        block_max_tf[b0:b1].tolist(),
+                        payload,
+                        len(payload),
+                        # same 15-hex-digit fold as the r1 SQL variant
+                        # (conv(substring(md5(payload),1,15),16,10))
+                        int(_hl.md5(payload).hexdigest()[:15], 16),
                     )
-                if out_rows:
+                )
+                if len(out_rows) >= 65536:
                     yield emit()
-            flush()
             if out_rows:
                 yield emit()
 
@@ -449,11 +490,21 @@ class IndexBuilder:
             spark.sparkContext.defaultParallelism * 2,
             min(len(shards) * num_buckets, 512),
         )
-        packed = (
+        return (
             exploded.repartition(n_part, "shard", "bucket")
             .sortWithinPartitions("shard", "bucket", "term", "doc_id")
             .mapInArrow(pack_stream, schema=pack_schema)
         )
+
+    def pack_shards(self, shards: List[int], avgdl: float) -> List[dict]:
+        """Pack a wave of doc-shards in ONE Spark job: write the pack
+        plan's output with dynamic partition overwrite (only this
+        wave's shard=/bucket= dirs are replaced; each (shard, bucket)
+        lands in exactly one task → one file per partition dir), then
+        aggregate the per-shard manifest lineage from the tiny
+        pre-computed columns."""
+        spark = self.spark
+        packed = self._pack_plan(shards, avgdl)
         (
             packed.write.partitionBy("shard", "bucket")
             .option("partitionOverwriteMode", "dynamic")
@@ -549,8 +600,13 @@ class IndexBuilder:
             shutil.rmtree(self.paths.root)
         self.paths.root.mkdir(parents=True, exist_ok=True)
 
+        timings: dict = {}
+        t0 = time.time()
         staging_info = self.write_staging(docs)
+        timings["staging_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
         stats = self.write_doc_stats(staging_info)
+        timings["doc_stats_sec"] = round(time.time() - t0, 2)
 
         done = self._completed_shards() if resume else set()
         pending = [
@@ -559,10 +615,15 @@ class IndexBuilder:
             if s * stats["span"] <= stats["max_doc_id"] and s not in done
         ]
         wave = wave_size or len(pending) or 1
+        t0 = time.time()
         for i in range(0, len(pending), wave):
             rows = self.pack_shards(pending[i : i + wave], avgdl=stats["avgdl"])
             self._append_manifest(rows)
+        timings["pack_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
         self.write_dictionary()
+        timings["dictionary_sec"] = round(time.time() - t0, 2)
+        stats["stage_timings"] = timings
         return stats
 
 

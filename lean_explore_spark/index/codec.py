@@ -10,9 +10,15 @@ Layout per (term, doc-shard) row:
   payload = block_0_gaps ‖ block_0_tfs ‖ block_1_gaps ‖ ...  (binary)
 
 * blocks hold up to ``block_size`` postings, doc_ids ascending;
-* within a block doc_ids are delta-gaps from ``block_first`` (first
-  gap is 0), so every block decodes independently — required for
-  WAND block skipping;
+* gaps are RANK deltas within the shard's sorted doc-id array (the
+  same ``dl_ids`` slice every reader already loads for doc lengths),
+  NOT raw id deltas: doc_ids are 2^62-scale url hashes, so id gaps
+  cost 8-9 varint bytes while rank gaps are 1-2 (measured 8.1 →
+  ~2.3 B/posting at 400k docs).  The first gap of a block is 0 and
+  the block's absolute position is recovered by binary-searching
+  ``block_first`` (an EXTERNAL id, kept for WAND's directory
+  galloping) in ``dl_ids`` — so every block still decodes
+  independently, which block-max skipping requires;
 * per-block directory arrays (kept as typed parquet columns, NOT in
   the binary payload, so Catalyst can prune them): first/last doc,
   posting count, gap/tf byte lengths, and ``max_score`` = the maximum
@@ -37,11 +43,14 @@ K1 = 1.5
 B = 0.75
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+def varint_encode_sized(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized; also return the
+    per-value byte counts so callers can slice the stream into blocks
+    (one encode call per task instead of two per block — the packer's
+    hot path)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -61,7 +70,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         idx += 1
         cur = cur >> np.uint64(7)
         remaining -= 1
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    return varint_encode_sized(values)[0]
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -122,13 +136,24 @@ def pack_postings(
     doc_lens: np.ndarray,
     avgdl: float,
     block_size: int = BLOCK_SIZE,
+    ranks: np.ndarray | None = None,
 ) -> PackedPostings:
-    """Pack one posting list (already sorted by doc_id ascending)."""
+    """Pack one posting list (already sorted by doc_id ascending).
+
+    ``ranks`` = each posting's index in the shard's sorted doc-id
+    universe (``np.searchsorted(dl_ids, doc_ids)``); the payload
+    encodes rank gaps.  Callers that already looked ranks up for the
+    doc-length join pass them in; otherwise they are synthesized as
+    0..n-1 ONLY when the list is its own universe (tests)."""
     n = len(doc_ids)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     if n and np.any(np.diff(doc_ids) <= 0):
         raise ValueError("doc_ids must be strictly ascending")
+    if ranks is None:
+        ranks = np.arange(n, dtype=np.int64)
+    else:
+        ranks = np.ascontiguousarray(ranks, dtype=np.int64)
     scores = bm25_tf_part(tfs, np.ascontiguousarray(doc_lens), avgdl)
 
     n_blocks = (n + block_size - 1) // block_size
@@ -145,7 +170,7 @@ def pack_postings(
         ids = doc_ids[lo:hi]
         gaps = np.empty(hi - lo, dtype=np.uint64)
         gaps[0] = 0
-        gaps[1:] = np.diff(ids).astype(np.uint64)
+        gaps[1:] = np.diff(ranks[lo:hi]).astype(np.uint64)
         g = varint_encode(gaps)
         t = varint_encode(tfs[lo:hi].astype(np.uint64))
         firsts[bi] = ids[0]
@@ -171,9 +196,13 @@ def pack_postings(
 
 
 def unpack_block(
-    packed: PackedPostings, block_idx: int
+    packed: PackedPostings, block_idx: int, dl_ids: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one block → (doc_ids int64, tfs int64)."""
+    """Decode one block → (doc_ids int64, tfs int64).
+
+    ``dl_ids`` = the shard's sorted doc-id array (the doc-length join
+    key every reader already holds); the block's absolute rank comes
+    from binary-searching its external ``block_first``."""
     off = int(
         packed.block_gap_bytes[:block_idx].sum()
         + packed.block_tf_bytes[:block_idx].sum()
@@ -183,17 +212,22 @@ def unpack_block(
     cnt = int(packed.block_count[block_idx])
     gaps = varint_decode(packed.payload[off : off + g_len], cnt)
     tfs = varint_decode(packed.payload[off + g_len : off + g_len + t_len], cnt)
-    doc_ids = packed.block_first[block_idx] + np.cumsum(gaps.astype(np.int64))
-    # first gap is 0 → cumsum starts at block_first
-    return doc_ids, tfs.astype(np.int64)
+    first_rank = int(
+        np.searchsorted(dl_ids, packed.block_first[block_idx])
+    )
+    ranks = first_rank + np.cumsum(gaps.astype(np.int64))
+    # first gap is 0 → cumsum starts at the block's first rank
+    return dl_ids[ranks], tfs.astype(np.int64)
 
 
-def unpack_all(packed: PackedPostings) -> tuple[np.ndarray, np.ndarray]:
+def unpack_all(
+    packed: PackedPostings, dl_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode the whole list → (doc_ids, tfs)."""
     ids: List[np.ndarray] = []
     tfs: List[np.ndarray] = []
     for bi in range(len(packed.block_first)):
-        i, t = unpack_block(packed, bi)
+        i, t = unpack_block(packed, bi, dl_ids)
         ids.append(i)
         tfs.append(t)
     if not ids:
@@ -202,7 +236,7 @@ def unpack_all(packed: PackedPostings) -> tuple[np.ndarray, np.ndarray]:
 
 
 def unpack_for(
-    packed: PackedPostings, want_ids: np.ndarray
+    packed: PackedPostings, want_ids: np.ndarray, dl_ids: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode only postings for a sorted candidate id array.
 
@@ -219,7 +253,7 @@ def unpack_for(
         hi = int(np.searchsorted(want_ids, packed.block_last[bi], "right"))
         if lo >= hi:
             continue
-        d, t = unpack_block(packed, bi)
+        d, t = unpack_block(packed, bi, dl_ids)
         pos = np.searchsorted(want_ids, d)
         pos_c = np.minimum(pos, len(want_ids) - 1)
         mask = want_ids[pos_c] == d

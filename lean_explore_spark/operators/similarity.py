@@ -298,6 +298,124 @@ def embedding_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------
+# IVF — the FAISS analog with trained centroids (coarse quantizer)
+# ---------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (FAISS also
+    trains its coarse quantizer on a sample, build_faiss_index.py:183-
+    213 nlist=100).  GEMM-based distances; empty clusters keep their
+    previous centroid."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, nlist]))
+    cent = sample[rng.choice(len(sample), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        d = -2.0 * (sample @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 20,
+    seed: int = 7,
+):
+    """Train an IVF coarse quantizer and assign every vector to its
+    nearest centroid (reference: scripts/build_faiss_index.py:183-213,
+    IVF nlist=100 trained on the corpus).
+
+    Returns (centroids: float64 [nlist, dim] — unit-normalized space,
+    assigned: DataFrame (vec_id, list_id)).  Training is a driver-side
+    sample (deterministic: lowest vec_ids); assignment is one
+    Arrow-batched narrow map over the full table with the centroids in
+    the closure — at 10^12 rows the assignment is the only full pass,
+    and ``list_id`` becomes the partition key the probes prune on.
+    """
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    nlist = min(nlist, len(sample))
+    centroids = _kmeans(sample, nlist, iters, seed)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+            d = -2.0 * (mat @ centroids.T) + (
+                centroids * centroids
+            ).sum(axis=1)[None, :]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "list_id": d.argmin(axis=1).astype(_np.int32),
+                }
+            )
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, list_id int"
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 20,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF query: probe the ``nprobe`` nearest inverted lists
+    (reference defaults.py:99-103 nprobe=200), exact cosine rerank of
+    their members.  ``nprobe == nlist`` degenerates to the exact scan
+    (asserted in tests); candidates are monotone in nprobe."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qunit = q / np.linalg.norm(q)
+    d = -2.0 * (centroids @ qunit) + (centroids * centroids).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = assigned.where(F.col("list_id").isin(probes)).select("vec_id")
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            norms = _np.linalg.norm(mat, axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cos": (mat @ qunit) / norms,
+                }
+            )
+
+    scored = (
+        embeddings.join(cand, "vec_id")
+        .mapInPandas(score, "vec_id long, cos double")
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,

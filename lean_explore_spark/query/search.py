@@ -216,7 +216,7 @@ class SearchEngine:
             for shard in sorted(by_shard):
                 dl_ids, dl_lens = self._doc_lens(shard)
                 cursors = [
-                    wand.TermCursor(_row_to_packed(r), uindex[t])
+                    wand.TermCursor(_row_to_packed(r), uindex[t], dl_ids)
                     for t, r in by_shard[shard]
                 ]
                 total = sum(c.packed.count for c in cursors)
@@ -255,7 +255,7 @@ class SearchEngine:
             for shard in sorted(by_shard):
                 dl_ids, dl_lens = self._doc_lens(shard)
                 for t, r in by_shard[shard]:
-                    d, tf = codec.unpack_for(_row_to_packed(r), cand)
+                    d, tf = codec.unpack_for(_row_to_packed(r), cand, dl_ids)
                     if len(d) == 0:
                         continue
                     x = codec.bm25_tf_part(
@@ -326,7 +326,7 @@ class SearchEngine:
                 dl_lens = tbl.column("doc_len").to_numpy()[order]
                 local_heap: list = []
                 cursors = [
-                    W.TermCursor(S._row_to_packed(r), uindex_b[r["term"]])
+                    W.TermCursor(S._row_to_packed(r), uindex_b[r["term"]], dl_ids)
                     for _, r in pdf.iterrows()
                 ]
                 W.wand_shard(cursors, ctx_b, dl_ids, dl_lens, local_heap, kk)

@@ -48,6 +48,7 @@ class TermCursor:
     __slots__ = (
         "packed",
         "uterm",
+        "dl_ids",
         "max_x",
         "n_blocks",
         "_payload_offsets",
@@ -58,9 +59,17 @@ class TermCursor:
         "doc",
     )
 
-    def __init__(self, packed: codec.PackedPostings, uterm: int):
+    def __init__(
+        self,
+        packed: codec.PackedPostings,
+        uterm: int,
+        dl_ids: np.ndarray,
+    ):
+        """``dl_ids`` = the shard's sorted doc-id array: rank gaps in
+        the payload dereference through it (codec docstring)."""
         self.packed = packed
         self.uterm = uterm
+        self.dl_ids = dl_ids
         self.n_blocks = len(packed.block_first)
         self.max_x = float(packed.block_max_score.max()) if self.n_blocks else 0.0
         sizes = packed.block_gap_bytes.astype(np.int64) + packed.block_tf_bytes.astype(
@@ -88,7 +97,8 @@ class TermCursor:
         cnt = int(p.block_count[bi])
         gaps = codec.varint_decode(p.payload[off : off + g_len], cnt)
         tfs = codec.varint_decode(p.payload[off + g_len : off + g_len + t_len], cnt)
-        self.ids = p.block_first[bi] + np.cumsum(gaps.astype(np.int64))
+        first_rank = int(np.searchsorted(self.dl_ids, p.block_first[bi]))
+        self.ids = self.dl_ids[first_rank + np.cumsum(gaps.astype(np.int64))]
         self.tfs = tfs.astype(np.int64)
         self.bi = bi
         self.pos = 0
@@ -284,7 +294,7 @@ def bulk_score_shard(
     all_x: List[np.ndarray] = []
     for cur in cursors:
         # decode every block of every cursor (bulk = exhaustive)
-        d, t = codec.unpack_all(cur.packed)
+        d, t = codec.unpack_all(cur.packed, dl_ids)
         if len(d) == 0:
             continue
         pos = np.searchsorted(dl_ids, d)

@@ -157,7 +157,7 @@ class SegmentedSearch:
             for shard in sorted(by_shard):
                 dl_ids, dl_lens = e._doc_lens(shard)
                 cursors = [
-                    wand.TermCursor(_row_to_packed(r), uindex[t])
+                    wand.TermCursor(_row_to_packed(r), uindex[t], dl_ids)
                     for t, r in by_shard[shard]
                 ]
                 wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)

@@ -42,7 +42,8 @@ def test_pack_roundtrip(postings, block_size):
     tfs = np.array([p[1] for p in postings], dtype=np.int64)
     dls = np.array([p[2] for p in postings], dtype=np.int64)
     packed = codec.pack_postings(ids, tfs, dls, avgdl=100.0, block_size=block_size)
-    got_ids, got_tfs = codec.unpack_all(packed)
+    # ranks default to 0..n-1 -> the list is its own doc universe
+    got_ids, got_tfs = codec.unpack_all(packed, ids)
     assert np.array_equal(got_ids, ids)
     assert np.array_equal(got_tfs, tfs)
     # block metadata invariants
@@ -63,7 +64,7 @@ def test_single_block_decode_independent():
     tfs = np.ones(len(ids), dtype=np.int64)
     dls = np.full(len(ids), 50, dtype=np.int64)
     packed = codec.pack_postings(ids, tfs, dls, avgdl=50.0, block_size=64)
-    d, t = codec.unpack_block(packed, 2)
+    d, t = codec.unpack_block(packed, 2, ids)
     assert d[0] == packed.block_first[2]
     assert np.array_equal(d, ids[128:192])
 

@@ -55,6 +55,8 @@ def _engine_topk(docs, query_tokens, k, block_size, num_shards, use_bulk):
     )
     heap: list = []
     for shard in range(num_shards):
+        dl_ids = np.arange(shard * span, min((shard + 1) * span, len(docs)))
+        dl_lens = stats.doc_len[dl_ids]
         cursors = []
         for t in uterms:
             lst = packs.get((t, shard))
@@ -63,13 +65,12 @@ def _engine_topk(docs, query_tokens, k, block_size, num_shards, use_bulk):
             d = np.array([r for r, _ in lst], dtype=np.int64)
             tf = np.array([f for _, f in lst], dtype=np.int64)
             p = codec.pack_postings(
-                d, tf, stats.doc_len[d], avgdl=stats.avgdl, block_size=block_size
+                d, tf, stats.doc_len[d], avgdl=stats.avgdl,
+                block_size=block_size, ranks=np.searchsorted(dl_ids, d),
             )
-            cursors.append(wand.TermCursor(p, uindex[t]))
+            cursors.append(wand.TermCursor(p, uindex[t], dl_ids))
         if not cursors:
             continue
-        dl_ids = np.arange(shard * span, min((shard + 1) * span, len(docs)))
-        dl_lens = stats.doc_len[dl_ids]
         if use_bulk:
             wand.bulk_score_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
         else:
