@@ -233,9 +233,20 @@ class IndexBuilder:
     def write_doc_stats(self, staging_info: dict) -> dict:
         if self.paths.stats_json.exists():
             return json.loads(self.paths.stats_json.read_text())
+        from pyspark.sql import Observation
+
         staged = self.spark.read.parquet(str(self.paths.staging))
         stats = staged.select(
             "shard", "doc_id", F.col("doc_len").cast("long").alias("doc_len")
+        )
+        # corpus aggregates ride the write job itself (Observation) —
+        # no second read of what was just written
+        obs = Observation("doc_stats")
+        stats = stats.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
         )
         # partitioned by shard: WAND tasks load only their shard's
         # doc-length slice (span-bounded), never the global array
@@ -246,11 +257,7 @@ class IndexBuilder:
             .mode("overwrite")
             .parquet(str(self.paths.doc_stats))
         )
-        row = self.spark.read.parquet(str(self.paths.doc_stats)).agg(
-            F.count("*").alias("n"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("total_tokens"),
-        ).collect()[0]
+        row = obs.get
         info = {
             "n_docs": int(row["n"]),
             "avgdl": float(row["avgdl"]),
@@ -290,18 +297,23 @@ class IndexBuilder:
         spark = self.spark
         num_buckets = self.num_buckets
         block_size = self.block_size
+        span = json.loads(self.paths.stats_json.read_text())["span"]
 
         staged = spark.read.parquet(str(self.paths.staging)).where(
             F.col("shard").isin([int(s) for s in shards])
         )
-        # doc_len is NOT shuffled per posting: it is pure redundancy
-        # (8 B × every posting); the packer loads each shard's
-        # span-bounded doc-length slice from doc_stats instead
+        # ONLY (doc_id, term, tf) crosses the JVM→Python Arrow channel:
+        # doc_len is pure redundancy (8 B × every posting — the packer
+        # loads each shard's span-bounded doc-length slice from
+        # doc_stats instead), and shard/bucket are recomputed
+        # Python-side (doc_id div span; md5 once per run) — they ride
+        # the shuffle only as partitioning EXPRESSIONS, never as
+        # materialized channel columns (~30% of the hand-off bytes)
         exploded = staged.select(
-            F.col("shard"),
             F.col("doc_id"),
             F.explode("tf_map").alias("term", "tf"),
-        ).withColumn("bucket", term_bucket_col(num_buckets))
+        )
+        shard_expr = F.expr(f"cast(doc_id div {span} as int)")
         doc_stats_root = str(self.paths.doc_stats)
 
         # pack output carries two lineage columns the manifest stage
@@ -357,10 +369,9 @@ class IndexBuilder:
             tbl = pa.Table.from_batches(got).combine_chunks()
             del got
             n = tbl.num_rows
-            shard_np = tbl.column("shard").to_numpy()
             ids = tbl.column("doc_id").to_numpy()
+            shard_np = (ids // span).astype(np.int32)
             tfs_np = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
-            bucket_np = tbl.column("bucket").to_numpy()
             terms = tbl.column("term").chunk(0)
 
             # run boundaries: term change or shard change (input sorted
@@ -458,11 +469,12 @@ class IndexBuilder:
                     pieces.append(mv_t[t_off[rs] : t_off[re]])
                 payload = b"".join(pieces)
                 s = int(run_start[ri])
+                term_str = terms[s].as_py()
                 out_rows.append(
                     (
                         int(shard_np[s]),
-                        terms[s].as_py(),
-                        int(bucket_np[s]),
+                        term_str,
+                        term_bucket(term_str, num_buckets),
                         int(run_end[ri] - s),
                         block_first[b0:b1].tolist(),
                         block_last[b0:b1].tolist(),
@@ -491,8 +503,10 @@ class IndexBuilder:
             min(len(shards) * num_buckets, 512),
         )
         return (
-            exploded.repartition(n_part, "shard", "bucket")
-            .sortWithinPartitions("shard", "bucket", "term", "doc_id")
+            exploded.repartition(
+                n_part, shard_expr, term_bucket_col(num_buckets)
+            )
+            .sortWithinPartitions(shard_expr, "term", "doc_id")
             .mapInArrow(pack_stream, schema=pack_schema)
         )
 

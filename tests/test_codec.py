@@ -77,3 +77,33 @@ def test_rejects_unsorted():
             np.array([10, 10], dtype=np.int64),
             avgdl=10.0,
         )
+
+
+def test_unpack_for_block_pruned_candidates():
+    """Candidate-restricted decode: equals the brute-force filter of a
+    full decode, for candidate sets hitting one, several, or no
+    blocks — and for ids absent from the list."""
+    rng = np.random.default_rng(3)
+    universe = np.sort(rng.choice(1 << 55, size=4000, replace=False)).astype(
+        np.int64
+    )
+    sel = np.sort(rng.choice(4000, size=900, replace=False))
+    ids = universe[sel]
+    tfs = rng.integers(1, 9, size=900).astype(np.int64)
+    dls = rng.integers(10, 300, size=900).astype(np.int64)
+    packed = codec.pack_postings(
+        ids, tfs, dls, avgdl=100.0, block_size=64, ranks=sel.astype(np.int64)
+    )
+    full_ids, full_tfs = codec.unpack_all(packed, universe)
+    assert np.array_equal(full_ids, ids)
+    for want in (
+        ids[::7],  # spread across blocks
+        ids[5:9],  # single block
+        np.setdiff1d(universe, ids)[:50],  # present in universe, not in list
+        np.array([1, 2, 3], dtype=np.int64),  # absent everywhere
+    ):
+        want = np.unique(want)
+        got_i, got_t = codec.unpack_for(packed, want, universe)
+        mask = np.isin(ids, want)
+        assert np.array_equal(got_i, ids[mask])
+        assert np.array_equal(got_t, tfs[mask])

@@ -83,3 +83,24 @@ def test_partial_aggregation_before_shuffle(spark):
     # TPC-H Q1 shape: HashAggregate appears twice (partial + final)
     plan = plan_of(R.pricing_summary(spark, SF_ORACLE), mode="simple")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_plan_single_exchange_and_pruned_staging_scan(spark, index_dir):
+    """The pack stage is ONE shuffle (repartition by shard/bucket
+    expressions), and its staging scan reads only (doc_id, tf_map) —
+    shard comes from partition pruning, doc_len never rides the
+    channel (r2: nor do materialized shard/bucket columns)."""
+    import json as _json
+    from pathlib import Path
+
+    b = IndexBuilder(spark, index_dir, num_shards=4, num_buckets=8)
+    b.num_shards = _json.loads(
+        (Path(index_dir) / "stats.json").read_text()
+    )["num_shards"]
+    plan = plan_of(b._pack_plan([0, 1, 2, 3], avgdl=70.0), mode="simple")
+    assert plan.count("Exchange") == 1
+    # column pruning on the forward-index scan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "doc_len" not in scan[0]
+    assert "tf_map" in scan[0]
+    assert "PartitionFilters: [shard" in scan[0]
