@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": lambda s, d: D.minhash_candidate_pairs(_docs(s, d)),
         "simhash": lambda s, d: D.simhash(_docs(s, d)),
         "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
+        "jaccard_refined": lambda s, d: D.jaccard_refined_pairs(_docs(s, d)),
+        "simhash_hamming": lambda s, d: D.simhash_hamming_pairs(_docs(s, d)),
         # similarity / ANN
         "cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), QUERY_VEC_ID),
         "lsh_buckets": lambda s, d: S.rp_lsh_buckets(_emb(s, d)),
@@ -480,6 +482,35 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
+# MinHash-LSH candidates → exact Jaccard refine (the at-scale pipeline
+# composition): same CTE stack as minhash_pairs + the jaccard tail
+# restricted to candidates
+_JACCARD_REFINED_SQL = f"""
+WITH {_SHINGLES},
+{_SHINGLE_X},
+params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+{_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+"""
+
 _SIMHASH_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
@@ -504,6 +535,25 @@ SELECT doc_id,
        CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
             AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
+"""
+
+_SIMHASH_HAMMING_SQL = f"""
+WITH sim AS ({_SIMHASH_SQL}),
+bnum AS (SELECT unnest(generate_series(0, 3)) AS band),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (12 * band)) & 4095 AS v
+  FROM sim CROSS JOIN bnum
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 _JACCARD_SQL = f"""
@@ -1023,7 +1073,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SIG_SQL,
         "minhash_pairs": _MINHASH_PAIRS_SQL,
         "simhash": _SIMHASH_SQL,
+        "simhash_hamming": _SIMHASH_HAMMING_SQL,
         "ngram_jaccard": _JACCARD_SQL,
+        "jaccard_refined": _JACCARD_REFINED_SQL,
         "cosine_topk": _COSINE_SQL,
         "lsh_buckets": _LSH_BUCKETS_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
