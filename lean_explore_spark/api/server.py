@@ -65,7 +65,12 @@ def _result_item(
 
 
 class SearchAPI:
-    """Route logic, separated from the HTTP plumbing for direct tests."""
+    """Route logic, separated from the HTTP plumbing for direct tests.
+
+    Display fields are fetched LAZILY per request (an ``IN``-list
+    pushdown over the doc table for exactly the result ids — reference
+    R1 late materialization, SURVEY §4), cached per doc: the driver
+    never holds the corpus, only docs that were actually served."""
 
     def __init__(
         self,
@@ -74,13 +79,29 @@ class SearchAPI:
         dependencies: Optional[Dict[int, List[int]]] = None,
     ) -> None:
         self.service = service
+        self._doc_meta = doc_meta
+        self._meta_cols = (
+            [c for c in ("doc_id", "url", "text") if c in doc_meta.columns]
+            if doc_meta is not None
+            else []
+        )
         self._meta: Dict[int, dict] = {}
-        if doc_meta is not None:
-            cols = [c for c in ("doc_id", "url", "text") if c in doc_meta.columns]
-            for row in doc_meta.select(*cols).collect():
+        self.dependencies = dependencies or {}
+
+    def _fetch_meta(self, doc_ids: List[int]) -> Dict[int, dict]:
+        missing = [d for d in doc_ids if d not in self._meta]
+        if missing and self._doc_meta is not None:
+            import pyspark.sql.functions as F
+
+            rows = (
+                self._doc_meta.select(*self._meta_cols)
+                .where(F.col("doc_id").isin([int(d) for d in missing]))
+                .collect()
+            )
+            for row in rows:
                 d = row.asDict()
                 self._meta[int(d["doc_id"])] = d
-        self.dependencies = dependencies or {}
+        return self._meta
 
     def heartbeat(self) -> dict:
         return {"status": "ok"}
@@ -92,11 +113,12 @@ class SearchAPI:
         results = self.service.search(
             q, limit=limit, lang_filter=pkg or None
         )
+        meta = self._fetch_meta([r.doc_id for r in results])
         return {
             "query": q,
             "packages_applied": pkg,
             "results": [
-                _result_item(r.doc_id, self._meta, r) for r in results
+                _result_item(r.doc_id, meta, r) for r in results
             ],
             "count": len(results),
             "total_candidates_considered": len(results),
@@ -104,17 +126,19 @@ class SearchAPI:
         }
 
     def get_by_id(self, group_id: int) -> Optional[dict]:
-        if group_id not in self._meta:
+        meta = self._fetch_meta([group_id])
+        if group_id not in meta:
             return None
-        return _result_item(group_id, self._meta)
+        return _result_item(group_id, meta)
 
     def get_dependencies(self, group_id: int) -> Optional[dict]:
-        if group_id not in self._meta:
-            return None
         cites = self.dependencies.get(group_id, [])
+        meta = self._fetch_meta([group_id, *cites])
+        if group_id not in meta:
+            return None
         return {
             "source_group_id": group_id,
-            "citations": [_result_item(c, self._meta) for c in cites],
+            "citations": [_result_item(c, meta) for c in cites],
             "count": len(cites),
         }
 

@@ -122,3 +122,73 @@ def test_resume_reproduces_identical_index(spark, tmp_path):
     # manifest has exactly one committed row per shard
     m = spark.read.parquet(str(part / "manifest")).collect()
     assert sorted(r["shard"] for r in m) == [0, 1, 2, 3]
+
+
+def test_vectorized_packer_rows_equal_reference_pack(spark, tmp_path):
+    """Every (term, shard) row the vectorized mapInArrow packer emits
+    must byte-equal codec.pack_postings applied to the same posting run
+    (ids/tfs from the forward index, ranks/doc-lens from doc_stats) —
+    the packer re-derives blocks/gaps/metadata with reduceat tricks, so
+    pin it to the reference implementation."""
+    import json
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.index import codec
+    from lean_explore_spark.sources import pages as P
+
+    docs = P.assign_doc_ids(
+        P.extract_text(P.generate_pages(spark, 300, partitions=3))
+    ).select("doc_id", F.col("extracted_text").alias("text"))
+    out = tmp_path / "packref"
+    IndexBuilder(spark, str(out), num_shards=3, num_buckets=4).build(
+        docs, resume=False
+    )
+    stats = json.loads((out / "stats.json").read_text())
+    span = stats["span"]
+
+    # ground truth postings from the docs themselves
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    postings: dict = {}
+    doc_len: dict = {}
+    for r in rows:
+        toks = tokenize_stem(r["text"])
+        doc_len[r["doc_id"]] = len(toks)
+        freqs: dict = {}
+        for t in toks:
+            freqs[t] = freqs.get(t, 0) + 1
+        for t, tf in freqs.items():
+            postings.setdefault((t, r["doc_id"] // span), []).append(
+                (r["doc_id"], tf)
+            )
+
+    by_shard_ids = {}
+    for d in doc_len:
+        by_shard_ids.setdefault(d // span, []).append(d)
+    for s in by_shard_ids:
+        by_shard_ids[s] = np.array(sorted(by_shard_ids[s]), dtype=np.int64)
+
+    packed_rows = spark.read.parquet(str(out / "postings")).collect()
+    assert len(packed_rows) == len(postings)
+    for row in packed_rows:
+        key = (row["term"], int(row["shard"]))
+        plist = sorted(postings[key])
+        ids = np.array([d for d, _ in plist], dtype=np.int64)
+        tfs = np.array([f for _, f in plist], dtype=np.int64)
+        dl_ids = by_shard_ids[key[1]]
+        ranks = np.searchsorted(dl_ids, ids)
+        dls = np.array([doc_len[int(d)] for d in ids], dtype=np.int64)
+        want = codec.pack_postings(
+            ids, tfs, dls, avgdl=stats["avgdl"],
+            block_size=stats["block_size"], ranks=ranks,
+        )
+        assert bytes(row["payload"]) == want.payload, key
+        assert list(row["block_first"]) == want.block_first.tolist()
+        assert list(row["block_last"]) == want.block_last.tolist()
+        assert list(row["block_count"]) == want.block_count.tolist()
+        assert list(row["block_gap_bytes"]) == want.block_gap_bytes.tolist()
+        assert list(row["block_tf_bytes"]) == want.block_tf_bytes.tolist()
+        assert list(row["block_max_score"]) == want.block_max_score.tolist()
+        assert list(row["block_max_tf"]) == want.block_max_tf.tolist()
+        assert int(row["df_shard"]) == want.count
