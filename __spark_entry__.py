@@ -10,15 +10,25 @@ Coverage map (SURVEY.md §2 + training-data ops):
 * BM25 engine relational stages + scorer: tokens_tf, term_df,
   doc_stats, corpus_stats, bm25_topk (§2.4 A7, §2.9)
 * dedup family: dedup_exact (A2/F5), minhash_signatures,
-  minhash_pairs, simhash, ngram_jaccard
-* similarity: cosine_topk (brute force), lsh_buckets, ann_lsh_topk
+  minhash_pairs, simhash, simhash_hamming (pigeonhole-exact),
+  ngram_jaccard, jaccard_refined (LSH→exact pipeline)
+* similarity: cosine_topk (brute force), lsh_buckets (integer-exact
+  plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
+* hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →
+  candidate BM25 → min-max normalize → weighted combine)
 * text analysis: lang_id, quality_score, token_counts, fingerprint
 * relational classes: region_rollup (J1/J3), customers_without_orders
   (J8/O4), top_orders_per_customer (W1/W2/W4), shipments_in_window
   (J6), acctbal_minmax_norm (A5/A6), pricing_summary (A1/A4),
-  event_sessionization (window/lag)
-* iterative / non-SQL (rows-only checks): pagerank_supplier_part (G1),
-  image_features, video_frame_sample (multimodal plumbing)
+  event_sessionization (µs-exact window/lag)
+* iterative graph: pagerank_supplier_part (G1) — value-checked against
+  a 12-iteration unrolled-CTE oracle
+* multimodal: audio_features (VALUE-CHECKED int16-PCM features),
+  video_frame_sample (value-checked), image_features (rows-only —
+  Philox feature kernel is not SQL-expressible)
+* non-SQL rows-only: ivf_topk (trained kmeans quantizer), embed_texts
+  (batched hash-kernel embedding) — both pytest-value-checked in
+  tests/test_ivf_embed.py
 
 SQL-checked text queries use the SQL analyzer (JVM ``\\w+``; the test
 corpus is ASCII so it coincides with the Python analyzer); Porter-

@@ -159,6 +159,48 @@ def image_features_flat(media: DataFrame, fake_decode: bool = True) -> DataFrame
     )
 
 
+def resize_images(
+    media: DataFrame,
+    out_w: int = 4,
+    out_h: int = 4,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """decode → nearest-neighbor resize → re-encode, per Arrow batch
+    (the brief's resize stage).  The resize math is real numpy
+    (index-grid gather — what PIL's NEAREST does); only the codec is
+    the stubbed deterministic kernel.  Output rows carry the resized
+    raw bytes plus shape metadata, ready for a downstream
+    image_features pass."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("pixels", BinaryType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload), fake=fake_decode)
+                h, w = img.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = img[ys][:, xs]
+                rows.append(
+                    (int(mid), out_w, out_h, small.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     """(media_id, frame_idx): deterministic frame-sampling plan for
     video rows — pure relational (sequence + explode), the decode of

@@ -84,3 +84,34 @@ def test_frame_sample(spark):
     assert set(got) == set(metas)
     for mid, idxs in got.items():
         assert idxs == list(range(0, metas[mid], 4))
+
+
+def test_resize_images_shape_and_determinism(spark):
+    import numpy as np
+
+    from lean_explore_spark.operators.multimodal import (
+        decode_image,
+        generate_media,
+        resize_images,
+    )
+
+    media = generate_media(spark, 60)
+    rows = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    n_images = media.where("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    for mid, r in rows.items():
+        px = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
+        assert px.shape == (4 * 4 * 3,)
+        assert r["width"] == r["height"] == 4
+    # pure function of the payload: same rows at any parallelism
+    again = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in resize_images(media.repartition(7), 4, 4).collect()
+    }
+    assert {m: bytes(r["pixels"]) for m, r in rows.items()} == again
+    # nearest-neighbor math matches a direct numpy gather on one image
+    payload = media.where("media_id = 0").head()["payload"]
+    img = decode_image(bytes(payload), fake=True)
+    ys = (np.arange(4) * img.shape[0]) // 4
+    xs = (np.arange(4) * img.shape[1]) // 4
+    assert bytes(rows[0]["pixels"]) == img[ys][:, xs].tobytes()
