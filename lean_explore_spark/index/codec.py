@@ -263,3 +263,31 @@ def unpack_for(
     if not ids:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return np.concatenate(ids), np.concatenate(tfs)
+
+
+def unpack_selected(
+    packed: PackedPostings, block_indices: np.ndarray, dl_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the given block indices (ascending) — the block-max
+    bulk scorer's partial decode.  Offsets are cumsummed once."""
+    sizes = packed.block_gap_bytes.astype(np.int64) + packed.block_tf_bytes.astype(
+        np.int64
+    )
+    offs = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    ids: List[np.ndarray] = []
+    tfs: List[np.ndarray] = []
+    for bi in block_indices:
+        bi = int(bi)
+        off = int(offs[bi])
+        g_len = int(packed.block_gap_bytes[bi])
+        t_len = int(packed.block_tf_bytes[bi])
+        cnt = int(packed.block_count[bi])
+        gaps = varint_decode(packed.payload[off : off + g_len], cnt)
+        t = varint_decode(packed.payload[off + g_len : off + g_len + t_len], cnt)
+        first_rank = int(np.searchsorted(dl_ids, packed.block_first[bi]))
+        ids.append(dl_ids[first_rank + np.cumsum(gaps.astype(np.int64))])
+        tfs.append(t.astype(np.int64))
+    if not ids:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(ids), np.concatenate(tfs)

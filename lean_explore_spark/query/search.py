@@ -195,16 +195,18 @@ class SearchEngine:
 
         return wand.finalize_topk(heap, ctx, k, unmatched_iter())
 
-    # below this many postings in a shard, the vectorized exhaustive
-    # scorer beats WAND's per-doc loop even when pruning would work
-    BULK_THRESHOLD = 100_000
+    # below this many postings in a shard, plain exhaustive bulk wins:
+    # the block-max bound computation can't pay for itself on a handful
+    # of blocks (above it, block pruning cut p50 2.4× at 400k docs)
+    BULK_THRESHOLD = 4096
 
     def search_tokens(
         self, tokens: Sequence[str], k: int = 50, mode: str = "auto"
     ) -> List[Tuple[int, float]]:
-        """mode: 'auto' picks per shard (bulk for small posting totals,
-        block-max WAND otherwise); 'wand'/'bulk' force a path — both
-        produce bit-identical scores (tests assert it)."""
+        """mode: 'auto' picks per shard — vectorized bulk for small
+        posting totals, block-max-pruned bulk otherwise;
+        'wand'/'bulk'/'blockmax' force a path — all produce
+        bit-identical scores (tests assert it)."""
         k = min(k, self.n_docs)
         if k <= 0:
             return []
@@ -220,13 +222,16 @@ class SearchEngine:
                     for t, r in by_shard[shard]
                 ]
                 total = sum(c.packed.count for c in cursors)
-                use_bulk = mode == "bulk" or (
-                    mode == "auto" and total <= self.BULK_THRESHOLD
-                )
-                if use_bulk:
-                    wand.bulk_score_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
-                else:
+                if mode == "wand":
                     wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+                elif mode == "bulk" or (
+                    mode == "auto" and total <= self.BULK_THRESHOLD
+                ):
+                    wand.bulk_score_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+                else:  # 'blockmax' or auto with a large posting total
+                    wand.blockmax_bulk_shard(
+                        cursors, ctx, dl_ids, dl_lens, heap, k
+                    )
 
         return self._finalize(heap, ctx, k)
 

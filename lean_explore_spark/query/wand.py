@@ -289,31 +289,33 @@ def bulk_score_shard(
     are bit-identical to both the oracle and wand_shard.
     """
     n_u = len(ctx.idfs)
-    all_docs: List[np.ndarray] = []
-    all_uterm: List[np.ndarray] = []
-    all_x: List[np.ndarray] = []
+    # touched-row discovery via a span-bounded bool mask + remap array
+    # — replaces the old np.unique SORT over every decoded posting
+    # (the p95 cost on hot Zipf terms) without allocating a
+    # universe × terms matrix
+    decoded = []  # (uterm, pos, x)
+    touched = np.zeros(len(dl_ids), dtype=bool)
     for cur in cursors:
         # decode every block of every cursor (bulk = exhaustive)
         d, t = codec.unpack_all(cur.packed, dl_ids)
         if len(d) == 0:
             continue
         pos = np.searchsorted(dl_ids, d)
-        dls = dl_lens[pos]
-        x = codec.bm25_tf_part(t, dls, ctx.avgdl, ctx.k1, ctx.b)
-        all_docs.append(d)
-        all_uterm.append(np.full(len(d), cur.uterm, dtype=np.int64))
-        all_x.append(x)
-    if not all_docs:
+        x = codec.bm25_tf_part(t, dl_lens[pos], ctx.avgdl, ctx.k1, ctx.b)
+        decoded.append((cur.uterm, pos, x))
+        touched[pos] = True
+    if not decoded:
         return
-    docs = np.concatenate(all_docs)
-    uterm = np.concatenate(all_uterm)
-    xs = np.concatenate(all_x)
-    uniq, inverse = np.unique(docs, return_inverse=True)
-    X = np.zeros((len(uniq), n_u), dtype=np.float64)
-    X[inverse, uterm] = xs
-    score = np.zeros(len(uniq), dtype=np.float64)
+    rows = np.flatnonzero(touched)  # ascending → doc ids ascending
+    remap = np.empty(len(dl_ids), dtype=np.int64)
+    remap[rows] = np.arange(len(rows))
+    Xt = np.zeros((len(rows), n_u), dtype=np.float64)
+    for uterm, pos, x in decoded:
+        Xt[remap[pos], uterm] = x
+    score = np.zeros(len(rows), dtype=np.float64)
     for u in ctx.token_uterm:  # token order, like the oracle
-        score += ctx.idfs[u] * (ctx.delta + X[:, u])
+        score += ctx.idfs[u] * (ctx.delta + Xt[:, u])
+    uniq = dl_ids[rows]
     # best-first by (score desc, doc asc); stop pushing once the heap
     # is full and the next candidate cannot enter
     order = np.lexsort((uniq, -score))
@@ -325,6 +327,115 @@ def bulk_score_shard(
             heapq.heapreplace(heap, entry)
         else:
             break  # sorted order: nothing later can enter either
+
+
+def _windowed_max(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """max(vals[lo_i:hi_i]) per i for MONOTONE non-decreasing windows
+    (block ranges advance with doc ranges) — amortized O(n) via a
+    monotone deque; empty windows yield 0."""
+    from collections import deque
+
+    out = np.zeros(len(lo), dtype=np.float64)
+    dq: deque = deque()  # indices, vals decreasing
+    nxt = 0
+    for i in range(len(lo)):
+        h = int(hi[i])
+        while nxt < h:
+            v = vals[nxt]
+            while dq and vals[dq[-1]] <= v:
+                dq.pop()
+            dq.append(nxt)
+            nxt += 1
+        start = int(lo[i])
+        while dq and dq[0] < start:
+            dq.popleft()
+        if dq and dq[0] < h:
+            out[i] = vals[dq[0]]
+    return out
+
+
+def blockmax_bulk_shard(
+    cursors: List[TermCursor],
+    ctx: QueryContext,
+    dl_ids: np.ndarray,
+    dl_lens: np.ndarray,
+    heap: List[Tuple[float, int, int]],
+    k: int,
+) -> None:
+    """Block-max pruned vectorized scorer: WAND's bound logic applied
+    at BLOCK granularity, with surviving blocks scored in bulk (the
+    PISA/Lucene SIMD shape — no per-doc Python loop).
+
+    Soundness of skipping the per-doc correction: a block b of term t
+    is pruned only when  inflate(c0 + w_t·max_x(b) +
+    Σ_{t'≠t} w_{t'}·max_x(t' blocks overlapping b's doc range)) < θ —
+    an upper bound on the TRUE score of every doc in b.  Contributions
+    are non-negative, so a doc inside any pruned block has true score
+    < θ, and its PARTIAL score (decoded from kept blocks only) is
+    ≤ true < θ — it can never displace a heap entry.  Docs in no
+    pruned block have complete scores.  Pruning only activates once
+    the heap holds k entries with θ > C0 (same gate as wand_shard), so
+    the delta-floor fill semantics are untouched.
+    """
+    n_u = len(ctx.idfs)
+    c0 = ctx.c0
+    theta = heap[0][0] if len(heap) >= k else -np.inf
+    prune_on = len(heap) >= k and theta > c0
+    tok_counts = np.zeros(n_u, dtype=np.float64)
+    for u in ctx.token_uterm:
+        tok_counts[u] += 1.0
+    w = [tok_counts[cur.uterm] * ctx.idfs[cur.uterm] for cur in cursors]
+
+    keep: List[Optional[np.ndarray]] = [None] * len(cursors)  # None = all
+    if prune_on and cursors:
+        for i, cur in enumerate(cursors):
+            p = cur.packed
+            bound = c0 + w[i] * p.block_max_score
+            for j, other in enumerate(cursors):
+                if j == i:
+                    continue
+                q = other.packed
+                lo = np.searchsorted(q.block_last, p.block_first, "left")
+                hi = np.searchsorted(q.block_first, p.block_last, "right")
+                bound = bound + w[j] * _windowed_max(q.block_max_score, lo, hi)
+            keep[i] = np.flatnonzero(
+                bound * (1.0 + 1e-9) + 1e-12 >= theta
+            )
+
+    decoded = []
+    touched = np.zeros(len(dl_ids), dtype=bool)
+    for i, cur in enumerate(cursors):
+        if keep[i] is None:
+            d, t = codec.unpack_all(cur.packed, dl_ids)
+        else:
+            d, t = codec.unpack_selected(cur.packed, keep[i], dl_ids)
+        if len(d) == 0:
+            continue
+        pos = np.searchsorted(dl_ids, d)
+        x = codec.bm25_tf_part(t, dl_lens[pos], ctx.avgdl, ctx.k1, ctx.b)
+        decoded.append((cur.uterm, pos, x))
+        touched[pos] = True
+    if not decoded:
+        return
+    rows = np.flatnonzero(touched)
+    remap = np.empty(len(dl_ids), dtype=np.int64)
+    remap[rows] = np.arange(len(rows))
+    Xt = np.zeros((len(rows), n_u), dtype=np.float64)
+    for uterm, pos, x in decoded:
+        Xt[remap[pos], uterm] = x
+    score = np.zeros(len(rows), dtype=np.float64)
+    for u in ctx.token_uterm:  # token order, like the oracle
+        score += ctx.idfs[u] * (ctx.delta + Xt[:, u])
+    uniq = dl_ids[rows]
+    order = np.lexsort((uniq, -score))
+    for idx in order:
+        entry = (float(score[idx]), -int(uniq[idx]), int(uniq[idx]))
+        if len(heap) < k:
+            heapq.heappush(heap, entry)
+        elif entry > heap[0]:
+            heapq.heapreplace(heap, entry)
+        else:
+            break
 
 
 def finalize_topk(

@@ -51,7 +51,7 @@ def ostats():
     )
 
 
-@pytest.mark.parametrize("mode", ["wand", "bulk"])
+@pytest.mark.parametrize("mode", ["wand", "bulk", "blockmax"])
 @pytest.mark.parametrize("query", QUERIES)
 @pytest.mark.parametrize("k", [5, 25])
 def test_wand_bit_exact_vs_oracle(engine, ostats, query, k, mode):

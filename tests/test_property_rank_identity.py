@@ -28,7 +28,7 @@ corpus_st = st.lists(
 query_st = st.lists(st.sampled_from(WORDS + ["missing"]), min_size=0, max_size=6)
 
 
-def _engine_topk(docs, query_tokens, k, block_size, num_shards, use_bulk):
+def _engine_topk(docs, query_tokens, k, block_size, num_shards, scorer):
     ids = list(range(len(docs)))
     stats = oracle.build_stats(ids, docs)
     span = max(1, math.ceil(len(docs) / num_shards))
@@ -71,8 +71,10 @@ def _engine_topk(docs, query_tokens, k, block_size, num_shards, use_bulk):
             cursors.append(wand.TermCursor(p, uindex[t], dl_ids))
         if not cursors:
             continue
-        if use_bulk:
+        if scorer == "bulk":
             wand.bulk_score_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+        elif scorer == "blockmax":
+            wand.blockmax_bulk_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
         else:
             wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
     matched = {e[2] for e in heap}
@@ -87,13 +89,13 @@ def _engine_topk(docs, query_tokens, k, block_size, num_shards, use_bulk):
     st.integers(min_value=1, max_value=50),
     st.sampled_from([4, 16, 128]),
     st.integers(min_value=1, max_value=5),
-    st.booleans(),
+    st.sampled_from(["wand", "bulk", "blockmax"]),
 )
 @settings(max_examples=150, deadline=None)
 def test_random_corpus_rank_identity(
-    docs, query, k, block_size, num_shards, use_bulk
+    docs, query, k, block_size, num_shards, scorer
 ):
-    got = _engine_topk(docs, query, k, block_size, num_shards, use_bulk)
+    got = _engine_topk(docs, query, k, block_size, num_shards, scorer)
     want = [
         (d, s)
         for d, s in oracle.top_k(
