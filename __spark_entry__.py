@@ -194,6 +194,22 @@ def q_stale_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-term sketch per lang (operators/sketch.py) — the
+    'novel sketch' custom op, exactly mirrored in DuckDB."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import sketch as SK
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '\\\\w+', 0)")
+        ).alias("term"),
+    )
+    return SK.kmv_distinct(toks, "lang", "term")
+
+
 HYBRID_FAISS_K = 100
 HYBRID_SIM_THRESHOLD = 0.1
 HYBRID_LIMIT = 50
@@ -331,6 +347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_minmax_norm": R.acctbal_minmax_norm,
         "pricing_summary": R.pricing_summary,
         "event_sessionization": R.event_sessionization,
+        # as-of join (point-in-time lookup; union+window composition)
+        "asof_attribution": R.purchase_attribution,
+        # KMV distinct sketch (deterministic, oracle-checkable)
+        "kmv_distinct": q_kmv_distinct,
         # full hybrid pipeline (F16/A5 jointly, service parity)
         "hybrid_topk": q_hybrid_topk,
         # pure SQL-API surface
@@ -1043,6 +1063,59 @@ FROM lagd GROUP BY media_id
 """
 
 
+# as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for our
+# union+window composition; right side deduped per (key, ts) with the
+# same max-value tie rule on both sides
+_ASOF_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'view' AND user_id < 100
+),
+p AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'purchase' AND user_id < 100
+  GROUP BY user_id, ts
+)
+SELECT v.event_id, v.user_id,
+       round(coalesce(p.value, CAST(-1 AS DOUBLE)), 6) AS asof_value
+FROM v ASOF LEFT JOIN p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+# KMV distinct sketch: k smallest distinct 60-bit hashes per group,
+# estimate (k-1)·2^60/h_k — deterministic integer hashes → bit-equal
+_KMV_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+),
+ut AS (SELECT DISTINCT lang, term FROM tok),
+digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+hx AS (
+  SELECT lang, term,
+         CAST(sum((strpos('0123456789abcdef', substr(md5(term), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS h
+  FROM ut CROSS JOIN digits
+  GROUP BY lang, term
+),
+hd AS (SELECT DISTINCT lang, h FROM hx),
+rk AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hd
+),
+st AS (
+  SELECT lang, count(*) AS n_exact,
+         max(CASE WHEN rn = 32 THEN h END) AS hk
+  FROM rk GROUP BY lang
+)
+SELECT lang, n_exact,
+       round(CASE WHEN hk IS NOT NULL
+             THEN CAST(31 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                  / CAST(hk AS DOUBLE)
+             ELSE CAST(n_exact AS DOUBLE) END, 6) AS kmv_estimate
+FROM st
+"""
+
 _SNAPSHOT_MERGE_SQL = """
 WITH prev AS (
   SELECT sha256(regexp_replace(text, '\\r\\n', chr(10), 'g')) AS k,
@@ -1101,6 +1174,8 @@ def oracle_sql() -> dict[str, str]:
         "acctbal_minmax_norm": _MINMAX_SQL,
         "pricing_summary": _PRICING_SQL,
         "event_sessionization": _SESSIONS_SQL,
+        "asof_attribution": _ASOF_SQL,
+        "kmv_distinct": _KMV_SQL,
         "sql_revenue_by_nation": (
             "SELECT n.n_name, count(*) AS n_orders,"
             " round(sum(o.o_totalprice), 2) AS revenue"

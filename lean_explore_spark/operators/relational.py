@@ -145,3 +145,65 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_sess").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+) -> DataFrame:
+    """AS-OF join (brief §custom-ops): attach to each left row the
+    ``value_col`` of the LATEST right row with right.ts ≤ left.ts for
+    the same key — the classic point-in-time lookup Spark lacks as a
+    primitive.
+
+    Composition (no range self-join, no per-key collect): right rows
+    are deduped per (key, ts) (max value — a deterministic tie rule),
+    tagged and UNIONed with the left, then one window pass carries the
+    last non-null right value forward (``last(ignorenulls)`` over
+    rows-unbounded-preceding).  ONE shuffle by key — at 10^12 rows this
+    is a sort within key partitions, not an interval join explosion.
+    Ties at equal ts: the right row applies (asof ≤ semantics, right
+    sorts before left at the same instant).
+    """
+    r = (
+        right.groupBy(key, ts)
+        .agg(F.max(value_col).alias("_asof_v"))
+        .select(key, F.col(ts).alias("_ts"), "_asof_v", F.lit(0).alias("_src"))
+    )
+    l = left.withColumn("_ts", F.col(ts)).withColumn(
+        "_src", F.lit(1)
+    ).withColumn("_asof_v", F.lit(None).cast(r.schema["_asof_v"].dataType))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = merged.withColumn(
+        "asof_value", F.last("_asof_v", ignorenulls=True).over(w)
+    )
+    return out.where(F.col("_src") == 1).drop("_ts", "_src", "_asof_v")
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper for asof_join: each 'view' event gets the value
+    of the user's most recent prior-or-simultaneous 'purchase' event
+    (point-in-time attribution), -1 when none exists."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") < 100
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(views, purchases, key="user_id", ts="ts", value_col="value")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 6).alias("asof_value"),
+    )

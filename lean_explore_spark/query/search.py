@@ -334,7 +334,9 @@ class SearchEngine:
                     W.TermCursor(S._row_to_packed(r), uindex_b[r["term"]], dl_ids)
                     for _, r in pdf.iterrows()
                 ]
-                W.wand_shard(cursors, ctx_b, dl_ids, dl_lens, local_heap, kk)
+                W.blockmax_bulk_shard(
+                    cursors, ctx_b, dl_ids, dl_lens, local_heap, kk
+                )
                 return pd.DataFrame(
                     {
                         "doc_id": [e[2] for e in local_heap],

@@ -160,7 +160,7 @@ class SegmentedSearch:
                     wand.TermCursor(_row_to_packed(r), uindex[t], dl_ids)
                     for t, r in by_shard[shard]
                 ]
-                wand.wand_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+                wand.blockmax_bulk_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
         matched = {e[2] for e in heap}
 
         def unmatched_iter():
