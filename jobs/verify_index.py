@@ -1,0 +1,96 @@
+"""Index fsck: recompute per-shard lineage from the postings actually
+on disk and compare against the committed manifest (ops parity with
+the reference's release integrity checks, scripts/release_data.py —
+there the check is an md5 per uploaded artifact; here it is the
+order-independent payload fingerprint per shard partition).
+
+Usage: python jobs/verify_index.py --index /path/to/index [--cpus N]
+
+Prints one JSON line: {"ok": bool, "shards": N, "mismatches": [...]}
+Exit code 1 on any mismatch — wire into release pipelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from lean_explore_spark.session import get_spark  # noqa: E402
+
+
+def verify(spark, index_dir: str) -> dict:
+    root = Path(index_dir)
+    manifest = (
+        spark.read.parquet(str(root / "manifest"))
+        .where(F.col("status") == "committed")
+        .groupBy("shard")
+        .agg(  # latest commit wins per shard (resume appends)
+            F.max_by("n_terms", "committed_at").alias("n_terms"),
+            F.max_by("n_postings", "committed_at").alias("n_postings"),
+            F.max_by("payload_bytes", "committed_at").alias("payload_bytes"),
+            F.max_by("fingerprint", "committed_at").alias("fingerprint"),
+        )
+        .collect()
+    )
+    # recompute from payload bytes themselves (NOT the packer-emitted
+    # fp column — an fsck must not trust the thing it checks)
+    actual = (
+        spark.read.parquet(str(root / "postings"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df_shard").alias("n_postings"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(payload), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("fingerprint"),
+        )
+        .collect()
+    )
+    want = {int(r["shard"]): r for r in manifest}
+    got = {int(r["shard"]): r for r in actual}
+    mismatches = []
+    for shard in sorted(set(want) | set(got)):
+        w, g = want.get(shard), got.get(shard)
+        if w is None or g is None:
+            mismatches.append({"shard": shard, "missing_in": "postings" if g is None else "manifest"})
+            continue
+        for fld in ("n_terms", "n_postings", "payload_bytes", "fingerprint"):
+            if int(w[fld]) != int(g[fld]):
+                mismatches.append(
+                    {
+                        "shard": shard,
+                        "field": fld,
+                        "manifest": int(w[fld]),
+                        "actual": int(g[fld]),
+                    }
+                )
+    return {"ok": not mismatches, "shards": len(got), "mismatches": mismatches}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    spark = get_spark(
+        app_name="verify_index",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = verify(spark, args.index)
+    print(json.dumps(out))
+    if not out["ok"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

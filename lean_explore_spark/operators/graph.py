@@ -66,12 +66,12 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - alpha) / n
     spark = edges.sparkSession
-    # with a pinned iteration count (tol=0) every iteration runs a
-    # driver action (the dangling-mass aggregate), which re-executes
-    # lineage back to the last checkpoint — checkpoint EVERY iteration
-    # so each action sees a one-join plan (47 s → ~13 s at sf0.1)
+    # with a pinned iteration count (tol=0) nothing forces a driver
+    # action per iteration (dangling mass stays in the plan), so the
+    # eager checkpoint is purely a lineage cut — every 3 iterations
+    # balances plan depth vs materialization count
     if tol <= 0:
-        checkpoint_every = 1
+        checkpoint_every = min(checkpoint_every, 3)
 
     # rank/contrib relations are O(nodes) — for graphs whose node set
     # fits an executor (≤ ~5M here) broadcast them so each iteration is

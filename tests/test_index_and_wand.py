@@ -192,3 +192,39 @@ def test_vectorized_packer_rows_equal_reference_pack(spark, tmp_path):
         assert list(row["block_max_score"]) == want.block_max_score.tolist()
         assert list(row["block_max_tf"]) == want.block_max_tf.tolist()
         assert int(row["df_shard"]) == want.count
+
+
+def test_verify_index_fsck(spark, index_dir, tmp_path):
+    """jobs/verify_index recomputes per-shard lineage from payload
+    bytes and matches the manifest; a corrupted payload is caught."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from verify_index import verify
+
+    out = verify(spark, index_dir)
+    assert out["ok"] and not out["mismatches"]
+
+    # corrupt one postings file → fsck must flag its shard
+    broken = tmp_path / "broken_idx"
+    shutil.copytree(index_dir, broken)
+    victim = next((broken / "postings").rglob("*.parquet"))
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    tbl = pq.read_table(victim)
+    payloads = tbl.column("payload").to_pylist()
+    payloads[0] = (payloads[0] or b"") + b"\x00"
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("payload"), "payload",
+        pa.array(payloads, type=pa.binary()),
+    )
+    pq.write_table(tbl, victim)
+    # drop Hadoop's CRC sidecar — it would catch the rewrite before
+    # the fsck logic under test ever runs
+    crc = victim.parent / f".{victim.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    out2 = verify(spark, str(broken))
+    assert not out2["ok"] and out2["mismatches"]
