@@ -1,0 +1,120 @@
+"""CLI entry point — reference parity for ``leanexplore ...``
+(src/lean_explore/cli/main.py: typer app with search / data commands).
+
+    python -m lean_explore_spark build  --input docs.parquet --output IDX
+    python -m lean_explore_spark search --index IDX --query "..." [--limit N]
+    python -m lean_explore_spark verify --index IDX
+    python -m lean_explore_spark serve  --index IDX --embeddings E.parquet
+                                        [--port P]
+
+stdlib argparse (no typer in this container); every subcommand prints
+one JSON document to stdout, mirroring the reference's
+machine-readable output mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="lean_explore_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--shards", type=int, default=16)
+    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--no-stem", action="store_true")
+    b.add_argument("--resume", action="store_true")
+
+    s = sub.add_parser("search", help="top-k BM25 query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--limit", type=int, default=50)
+    s.add_argument("--distributed", action="store_true")
+
+    v = sub.add_parser("verify", help="manifest/fingerprint fsck")
+    v.add_argument("--index", required=True)
+
+    sv = sub.add_parser("serve", help="HTTP API over the hybrid service")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--embeddings", required=True)
+    sv.add_argument("--docs", default=None)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+
+    args = ap.parse_args(argv)
+
+    from lean_explore_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cli_{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "build":
+        from lean_explore_spark.index.builder import IndexBuilder
+
+        stats = IndexBuilder(
+            spark,
+            args.output,
+            stem=not args.no_stem,
+            num_shards=args.shards,
+            num_buckets=args.buckets,
+        ).build(spark.read.parquet(args.input), resume=args.resume)
+        print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "search":
+        from lean_explore_spark.query.search import SearchEngine
+
+        eng = SearchEngine(spark, args.index, preload=not args.distributed)
+        hits = (
+            eng.search_distributed(args.query, args.limit)
+            if args.distributed
+            else eng.search(args.query, args.limit)
+        )
+        print(
+            json.dumps(
+                {
+                    "query": args.query,
+                    "count": len(hits),
+                    "results": [
+                        {"doc_id": d, "score": s} for d, s in hits
+                    ],
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "verify":
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "jobs"))
+        from verify_index import verify
+
+        out = verify(spark, args.index)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
+
+    if args.cmd == "serve":
+        from lean_explore_spark.api.server import APIServer, SearchAPI
+        from lean_explore_spark.query.service import SearchService
+
+        emb = spark.read.parquet(args.embeddings)
+        docs = spark.read.parquet(args.docs) if args.docs else None
+        svc = SearchService(spark, args.index, emb, doc_meta=docs)
+        api = SearchAPI(svc, doc_meta=docs)
+        srv = APIServer(api, host=args.host, port=args.port).start()
+        print(json.dumps({"serving": srv.url}), flush=True)
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
