@@ -207,3 +207,23 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.coalesce("asof_value", F.lit(-1.0)), 6).alias("asof_value"),
     )
+
+
+def salted_two_stage_count(
+    df: DataFrame, key_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Salted two-stage aggregation (north_rule's named skew defuse, in
+    its generic form): stage 1 groups by (key, salt) — the hot key's
+    rows split across ``salt_buckets`` reducers — stage 2 merges the
+    partial counts per key.  Correct for any algebraic aggregate;
+    counts here.  The index builder's doc-range sharding is the
+    specialized version of this (salt = doc range, which keeps shards
+    concatenable); this operator is the drop-in for aggregations with
+    no natural range key."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key_col, "_salt").agg(
+        F.count("*").alias("_partial")
+    )
+    return partial.groupBy(key_col).agg(F.sum("_partial").alias("n"))
