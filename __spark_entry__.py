@@ -248,12 +248,15 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     analyzed = _analyzed(spark, sf_dir)
-    bm = df_scorer.score_query(
+    # candidate-pruned BM25 (r2 VERDICT #1): the ≤100-row candidate set
+    # is broadcast into the term-pruned postings scan — no global sort,
+    # no corpus-sized broadcast (the k=1e9 sort+broadcast scale-killer)
+    bm = df_scorer.score_candidates_df(
         spark,
         A.term_doc_tf(analyzed),
         A.doc_stats(analyzed),
         tokenize(FLAGSHIP_QUERY),
-        k=1_000_000_000,  # full relation; the candidate join prunes
+        cand.select("doc_id"),
     ).select("doc_id", F.col("score").alias("bm25_raw"))
 
     joined = cand.join(F.broadcast(bm), "doc_id").select(

@@ -31,12 +31,16 @@ def verify(spark, index_dir: str) -> dict:
         spark.read.parquet(str(root / "manifest"))
         .where(F.col("status") == "committed")
         .groupBy("shard")
-        .agg(  # latest commit wins per shard (resume appends)
-            F.max_by("n_terms", "committed_at").alias("n_terms"),
-            F.max_by("n_postings", "committed_at").alias("n_postings"),
-            F.max_by("payload_bytes", "committed_at").alias("payload_bytes"),
-            F.max_by("fingerprint", "committed_at").alias("fingerprint"),
+        .agg(  # latest commit wins per shard (resume appends); ONE
+            # max_by of a struct so all four fields come from the SAME
+            # manifest row even on committed_at ties (same-second
+            # commits from a crashed-then-resumed wave must not mix)
+            F.max_by(
+                F.struct("n_terms", "n_postings", "payload_bytes", "fingerprint"),
+                "committed_at",
+            ).alias("m"),
         )
+        .select("shard", "m.n_terms", "m.n_postings", "m.payload_bytes", "m.fingerprint")
         .collect()
     )
     # recompute from payload bytes themselves (NOT the packer-emitted

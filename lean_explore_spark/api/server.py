@@ -7,6 +7,8 @@ web framework in this container):
 
     GET /api/v1/heartbeat
     GET /api/v1/search?q=&pkg=&limit=
+    POST /api/v1/search  (batch: {"queries": [...], "limit": N})
+    GET /api/v1/lexical_search?q=&k=&distributed=
     GET /api/v1/statement_groups/{id}
     GET /api/v1/statement_groups/{id}/dependencies
 
@@ -125,6 +127,32 @@ class SearchAPI:
             "processing_time_ms": int((time.time() - t0) * 1000),
         }
 
+    def batch_search(
+        self, queries: List[str], pkg: Optional[List[str]], limit: int
+    ) -> dict:
+        """Batch query surface (reference local/service.py:331-341
+        ``batch_search``): N queries in one request, responses in input
+        order — each a full search() body."""
+        return {
+            "responses": [self.search(q, pkg, limit) for q in queries],
+            "count": len(queries),
+        }
+
+    def lexical_search(self, q: str, k: int, distributed: bool) -> dict:
+        """Pure-BM25 serving mode (r2 VERDICT #3): optionally routed
+        through the per-shard distributed WAND tasks."""
+        t0 = time.time()
+        hits = self.service.lexical_search(q, k, distributed=distributed)
+        return {
+            "query": q,
+            "distributed": distributed,
+            "results": [
+                {"id": int(d), "score": float(s)} for d, s in hits
+            ],
+            "count": len(hits),
+            "processing_time_ms": int((time.time() - t0) * 1000),
+        }
+
     def get_by_id(self, group_id: int) -> Optional[dict]:
         meta = self._fetch_meta([group_id])
         if group_id not in meta:
@@ -169,6 +197,13 @@ class _Handler(BaseHTTPRequestHandler):
             pkg = qs.get("pkg")
             limit = int(qs.get("limit", ["50"])[0])
             return self._send(200, self.api.search(q, pkg, limit))
+        if path == f"{ROOT}/lexical_search":
+            q = qs.get("q", [""])[0]
+            if not q:
+                return self._send(422, {"detail": "q is required"})
+            k = int(qs.get("k", ["50"])[0])
+            dist = qs.get("distributed", ["false"])[0].lower() == "true"
+            return self._send(200, self.api.lexical_search(q, k, dist))
         parts = path.strip("/").split("/")
         # api/v1/statement_groups/{id}[/dependencies]
         if len(parts) >= 4 and parts[2] == "statement_groups":
@@ -186,6 +221,23 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404, {"detail": "not found"})
             return self._send(200, item)
         self._send(404, {"detail": "not found"})
+
+    def do_POST(self) -> None:  # noqa: N802 - stdlib API
+        u = urlparse(self.path)
+        if u.path != f"{ROOT}/search":
+            return self._send(404, {"detail": "not found"})
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            queries = body["queries"]
+            assert isinstance(queries, list) and all(
+                isinstance(q, str) for q in queries
+            )
+        except Exception:
+            return self._send(422, {"detail": "body must be {queries: [str]}"})
+        pkg = body.get("pkg")
+        limit = int(body.get("limit", 50))
+        return self._send(200, self.api.batch_search(queries, pkg, limit))
 
 
 class APIServer:

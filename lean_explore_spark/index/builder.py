@@ -87,12 +87,17 @@ POSTINGS_SCHEMA = StructType(
 # per-PYTHON-WORKER doc-stats cache: executors reuse worker processes
 # across tasks, so each (doc_stats_root, shard) slice is read from
 # parquet once per worker instead of once per pack task (512 tasks ×
-# pq.read_table was a measurable slice of the pack stage)
+# pq.read_table was a measurable slice of the pack stage).
+# The key carries a BUILD-UNIQUE token (stats.json mtime+hash, captured
+# in the pack closure — ADVICE r2): workers persist across jobs, so a
+# rebuild at the SAME path with different docs (build(resume=False)
+# after a prior build, compact() to a reused out_dir) must not serve
+# the previous build's doc-id/doc-len slices to the packer.
 _DL_WORKER_CACHE: dict = {}
 
 
-def _worker_doc_lens(doc_stats_root: str, shard: int):
-    key = (doc_stats_root, shard)
+def _worker_doc_lens(doc_stats_root: str, shard: int, build_token: str = ""):
+    key = (doc_stats_root, shard, build_token)
     if key not in _DL_WORKER_CACHE:
         if len(_DL_WORKER_CACHE) >= 64:  # bound worker memory across waves
             _DL_WORKER_CACHE.clear()
@@ -298,6 +303,13 @@ class IndexBuilder:
         num_buckets = self.num_buckets
         block_size = self.block_size
         span = json.loads(self.paths.stats_json.read_text())["span"]
+        # build-unique worker-cache token: mtime_ns + content hash of
+        # stats.json identifies THIS build's doc_stats at this path
+        _sj = self.paths.stats_json
+        build_token = (
+            f"{_sj.stat().st_mtime_ns}:"
+            f"{hashlib.md5(_sj.read_bytes()).hexdigest()[:16]}"
+        )
 
         staged = spark.read.parquet(str(self.paths.staging)).where(
             F.col("shard").isin([int(s) for s in shards])
@@ -366,8 +378,17 @@ class IndexBuilder:
             got = [rb for rb in batches if rb.num_rows]
             if not got:
                 return
-            tbl = pa.Table.from_batches(got).combine_chunks()
+            tbl = pa.Table.from_batches(got)
             del got
+            # large_string BEFORE combine_chunks (ADVICE r2): a task
+            # whose term column exceeds the 2 GiB 32-bit-offset Arrow
+            # limit would otherwise stay multi-chunk and break the
+            # single-chunk run-boundary slice below; 64-bit offsets
+            # always combine to one chunk.
+            ti = tbl.schema.get_field_index("term")
+            tbl = tbl.set_column(
+                ti, "term", tbl.column("term").cast(pa.large_string())
+            ).combine_chunks()
             n = tbl.num_rows
             ids = tbl.column("doc_id").to_numpy()
             shard_np = (ids // span).astype(np.int32)
@@ -393,7 +414,9 @@ class IndexBuilder:
             ranks = np.empty(n, dtype=np.int64)
             dls = np.empty(n, dtype=np.int64)
             for shard in np.unique(shard_np):
-                d_ids, d_lens = _worker_doc_lens(doc_stats_root, int(shard))
+                d_ids, d_lens = _worker_doc_lens(
+                    doc_stats_root, int(shard), build_token
+                )
                 m = shard_np == shard
                 pos = np.searchsorted(d_ids, ids[m])
                 ranks[m] = pos

@@ -63,23 +63,28 @@ def pagerank(
     ).cache()
     dangling_nodes.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - alpha) / n
     spark = edges.sparkSession
-    # with a pinned iteration count (tol=0) nothing forces a driver
-    # action per iteration (dangling mass stays in the plan), so the
-    # eager checkpoint is purely a lineage cut — every 3 iterations
-    # balances plan depth vs materialization count
-    if tol <= 0:
-        checkpoint_every = min(checkpoint_every, 3)
 
     # rank/contrib relations are O(nodes) — for graphs whose node set
-    # fits an executor (≤ ~5M here) broadcast them so each iteration is
-    # ONE partial-aggregated shuffle (groupBy dst) instead of three;
-    # beyond that the shuffled join is the correct shape and the hint
-    # is skipped (edges stay partitioned by src either way)
-    bcast = n <= 5_000_000
-    hint = F.broadcast if bcast else (lambda df: df)
+    # fits the driver (≤ ~5M, the same bound that makes the broadcast
+    # legal) the rank VECTOR lives driver-side between iterations: it
+    # was being broadcast each iteration anyway, so collecting the new
+    # vector back is the same O(n) transfer, and every iteration gets a
+    # CONSTANT-SIZE plan — no lineage growth, no checkpoints at all
+    # (r2 BENCH regression: eager localCheckpoint every 3 iterations
+    # was 4 driver-blocking materializations per 12-iter run, 41 s;
+    # non-eager was worse — each broadcast recomputed the whole
+    # untruncated chain).  Beyond 5M nodes the shuffled-join path below
+    # keeps everything distributed (edges stay partitioned by src).
+    if n <= 5_000_000:
+        return _pagerank_driver_ranks(
+            spark, weighted, nodes, dangling_nodes, n, alpha, base,
+            tol, max_iter,
+        )
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    hint = lambda df: df  # noqa: E731 - shuffled join path
 
     for it in range(max_iter):
         contribs = (
@@ -111,6 +116,9 @@ def pagerank(
             )
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            # EAGER: the per-iteration rank broadcast recomputes from
+            # the last materialized plan — a lazy cut would recompute
+            # the whole window per broadcast (measured 3× worse)
             new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol > 0:
             delta = (
@@ -127,6 +135,66 @@ def pagerank(
             # and saves the per-iteration convergence action
             ranks = new_ranks
     return ranks
+
+
+def _pagerank_driver_ranks(
+    spark,
+    weighted: DataFrame,
+    nodes: DataFrame,
+    dangling_nodes: DataFrame,
+    n: int,
+    alpha: float,
+    base: float,
+    tol: float,
+    max_iter: int,
+) -> DataFrame:
+    """PageRank with a driver-resident rank vector (n ≤ ~5M).
+
+    Spark does the O(edges) work — ONE broadcast join + partial-
+    aggregated shuffle per iteration over the src-partitioned edge
+    cache — while the O(n) rank update is numpy on the driver.  Same
+    float64 formula as the distributed path and the unrolled-CTE
+    oracle: rank' = base + α·(in_sum + dangling_mass/n)."""
+    import numpy as np
+
+    node_ids = np.array(
+        sorted(r["node"] for r in nodes.collect()), dtype=np.int64
+    )
+    dang_idx = np.searchsorted(
+        node_ids,
+        np.array(
+            sorted(r["node"] for r in dangling_nodes.collect()),
+            dtype=np.int64,
+        ),
+    )
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+
+    for _ in range(max_iter):
+        rdf = spark.createDataFrame(
+            zip(node_ids.tolist(), ranks.tolist()), "node long, rank double"
+        )
+        rows = (
+            weighted.join(F.broadcast(rdf), weighted.src == rdf.node)
+            .select("dst", (F.col("w") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+            .collect()
+        )
+        in_sum = np.zeros(n, dtype=np.float64)
+        for r in rows:
+            in_sum[np.searchsorted(node_ids, int(r["dst"]))] = float(
+                r["in_sum"]
+            )
+        dm = float(np.sum(ranks[dang_idx])) if len(dang_idx) else 0.0
+        new_ranks = base + alpha * (in_sum + dm / float(n))
+        delta = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        if tol > 0 and delta < n * tol:
+            break
+
+    return spark.createDataFrame(
+        zip(node_ids.tolist(), ranks.tolist()), "node long, rank double"
+    )
 
 
 def scaled_pagerank(ranks: DataFrame) -> DataFrame:

@@ -219,9 +219,12 @@ def salted_two_stage_count(
     counts here.  The index builder's doc-range sharding is the
     specialized version of this (salt = doc range, which keeps shards
     concatenable); this operator is the drop-in for aggregations with
-    no natural range key."""
+    no natural range key.  The salt is a deterministic row hash (all
+    columns), not monotonically_increasing_id: stage retries and
+    re-partitionings re-derive the SAME salt per row, keeping shuffle
+    outputs byte-stable like the rest of the repo."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     )
     partial = salted.groupBy(key_col, "_salt").agg(
         F.count("*").alias("_partial")

@@ -121,11 +121,13 @@ class SegmentedSearch:
         tokens = self.engines[0].analyze_query(query)
         k = min(k, self.n_docs)
         if k <= 0 or not tokens:
-            # delta-floor degenerate path: all docs score equal
-            ids = np.sort(
-                np.concatenate([e._all_doc_ids() for e in self.engines])
-            )
-            return [(int(d), 0.0) for d in ids[:k]]
+            # delta-floor degenerate path: all docs score equal — lazy
+            # ascending merge of per-segment id streams, consume k
+            import heapq
+            import itertools
+
+            merged = heapq.merge(*(e.iter_doc_ids() for e in self.engines))
+            return [(d, 0.0) for d in itertools.islice(merged, k)]
 
         uniq = sorted(set(tokens))
         dfs: dict = {}
@@ -164,13 +166,12 @@ class SegmentedSearch:
         matched = {e[2] for e in heap}
 
         def unmatched_iter():
-            ids = np.sort(
-                np.concatenate(
-                    [e._all_doc_ids() for e in self.engines]
-                )
-            )
-            for d in ids:
-                d = int(d)
+            # lazy ascending merge: each segment's iterator is shard-
+            # lazy and ascending, so the merged stream is ascending
+            # without ever materializing the corpus id universe
+            import heapq
+
+            for d in heapq.merge(*(e.iter_doc_ids() for e in self.engines)):
                 if d not in matched:
                     yield d
 

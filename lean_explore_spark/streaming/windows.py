@@ -138,7 +138,17 @@ def sessionize_stream(
     """Streaming per-user sessionization via applyInPandasWithState.
 
     Emits CLOSED sessions (gap-closed in-batch, or watermark-timed-out
-    between batches).  State per user is one (start, last, n) row."""
+    between batches).  State per user is one (start, last, n) row.
+
+    In-order-ingest assumption (ADVICE r2): events are folded into the
+    OPEN session as they arrive, so a cross-batch late event (within
+    the watermark but older than an already-closed in-batch gap) can
+    merge into the wrong session vs the batch fold.  Inputs delivered
+    in event-time order per user (the fixture pins file mtimes for
+    exactly this) match the batch oracle exactly; for disordered
+    feeds, buffer events in state until the watermark passes before
+    closing — at the cost of O(events-in-gap-window) state per user
+    instead of one triple."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)

@@ -112,3 +112,46 @@ def test_dependencies_route(server):
     assert set(body) == CITATION_FIELDS
     assert body["source_group_id"] == 0 and body["count"] == 2
     assert [c["id"] for c in body["citations"]] == [1, 2]
+
+
+def test_batch_search_route_and_client(server):
+    """POST /search (reference local/service.py:331-341 batch surface)
+    + the thin Client (api/client.py analog): one round trip, responses
+    in input order, each the same body as the GET route."""
+    from lean_explore_spark.api.client import Client
+
+    cli = Client(server.url, api_key="test-key")
+    qs = ["fast table scan", "merge join"]
+    batch = cli.batch_search(qs, limit=5)
+    assert batch["count"] == 2
+    assert [r["query"] for r in batch["responses"]] == qs
+    for resp in batch["responses"]:
+        assert SEARCH_FIELDS <= set(resp)
+
+    # client single + fan-out GET paths match the batch bodies
+    single = cli.search(qs[0], limit=5)
+    assert single["query"] == qs[0]
+    assert [r["id"] for r in single["results"]] == [
+        r["id"] for r in batch["responses"][0]["results"]
+    ]
+    many = cli.search(qs, limit=5)
+    assert [m["query"] for m in many] == qs
+
+    # get_by_id / get_dependencies parity incl. 404→None
+    assert cli.get_by_id(0)["id"] == 0
+    assert cli.get_by_id(999999999) is None
+    deps = cli.get_dependencies(0)
+    assert deps["count"] == 2
+    assert cli.get_by_id([0, 999999999])[1] is None
+
+
+def test_lexical_search_route(server):
+    status, body = _get(
+        f"{server.url}/lexical_search?q=fast+table+scan&k=10"
+    )
+    assert status == 200 and body["count"] <= 10
+    status2, body2 = _get(
+        f"{server.url}/lexical_search?q=fast+table+scan&k=10&distributed=true"
+    )
+    assert status2 == 200 and body2["distributed"] is True
+    assert body["results"] == body2["results"]

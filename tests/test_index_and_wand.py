@@ -228,3 +228,56 @@ def test_verify_index_fsck(spark, index_dir, tmp_path):
         crc.unlink()
     out2 = verify(spark, str(broken))
     assert not out2["ok"] and out2["mismatches"]
+
+
+def test_rebuild_same_path_invalidates_worker_cache(spark, tmp_path):
+    """ADVICE r2 (medium): python workers persist across jobs, so a
+    rebuild at the SAME path with a different corpus must not serve the
+    previous build's doc-id/doc-len slices to the packer (the cache key
+    carries a build-unique stats.json token).  Before the fix, the
+    second build's gaps were computed against the FIRST build's doc-id
+    ranks → decoded doc ids diverge from the oracle."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = tmp_path / "same_path"
+
+    IndexBuilder(spark, str(out), stem=True, num_shards=4, num_buckets=4).build(
+        docs, resume=False
+    )
+    # prime the worker caches with build #1's slices
+    SearchEngine(spark, str(out)).search("customer orders data", 10)
+
+    # build #2: same path, different corpus (subset → different doc-id
+    # universe, different span, same shard numbers / doc_stats root)
+    docs2 = docs.where("doc_id % 3 != 0")
+    IndexBuilder(spark, str(out), stem=True, num_shards=4, num_buckets=4).build(
+        docs2, resume=False
+    )
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{SF_ORACLE}/documents.parquet' "
+        "where doc_id % 3 != 0 order by doc_id"
+    ).fetchall()
+    ostats = oracle.build_stats(
+        [r[0] for r in rows], (tokenize_stem(r[1]) for r in rows)
+    )
+    eng = SearchEngine(spark, str(out), preload=True)
+    for q in ["customer orders data", "fast table scan merge join"]:
+        toks = tokenize_stem(q)
+        got = eng.search_tokens(toks, 25)
+        want = oracle.top_k(ostats, toks, 25)
+        assert got == [(d, s) for d, s in want], q
+
+
+def test_delta_floor_fill_reads_shard_prefix_only(spark, index_dir):
+    """r2 VERDICT #2: the delta-floor fill is shard-lazy — a sub-k
+    rare-term query consumes ids from the first doc-range shard(s)
+    only, never collecting the corpus id universe to the driver."""
+    eng = SearchEngine(spark, index_dir, preload=False)
+    got = eng.search_tokens(["zzz_not_in_corpus"], 5)
+    assert len(got) == 5 and all(s == got[0][1] for _, s in got)
+    shards = eng._shards()
+    assert len(shards) > 1
+    # only the first shard's doc_stats slice was loaded
+    assert set(eng._dl_cache) == {shards[0]}

@@ -119,3 +119,48 @@ def test_bm25_signal_is_corpus_exact(service):
     full = dict(service.engine.search_tokens(tokens, service.engine.n_docs))
     for r in res:
         assert r.raw_bm25 == full[r.doc_id]
+
+
+def test_cold_mode_parity(service, spark):
+    """preload=False (r2 VERDICT #3): every asset access is a pruned
+    Spark read; results must be bit-identical to the preloaded service
+    and nothing corpus-sized may land in the engine caches."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    cold = SearchService(
+        spark, str(service.engine.root), emb, doc_meta=docs,
+        pagerank=service.pagerank, preload=False,
+    )
+    assert cold.engine._dict_cache is None
+    assert cold.engine._postings_cache is None
+    for q in ("fast table scan", "merge join index"):
+        a = service.search(q, sim_threshold=-1.0)
+        b = cold.search(q, sim_threshold=-1.0)
+        assert [(r.doc_id, r.final_score, r.raw_bm25) for r in a] == [
+            (r.doc_id, r.final_score, r.raw_bm25) for r in b
+        ]
+    # cold mode never filled the preload caches
+    assert cold.engine._dict_cache is None
+    assert cold.engine._postings_cache is None
+
+
+def test_lexical_search_distributed_parity(service):
+    """service.lexical_search routes through per-shard Spark WAND
+    tasks when distributed=True and must be bit-identical to the
+    driver-side engine path."""
+    for q in ("fast table scan merge join", "customer orders data"):
+        local = service.lexical_search(q, k=25)
+        dist = service.lexical_search(q, k=25, distributed=True)
+        assert local == dist
+        assert len(local) == 25
+
+
+def test_batch_search_matches_single(service):
+    qs = ["fast table scan", "merge join index", ""]
+    batch = service.batch_search(qs, sim_threshold=-1.0)
+    assert len(batch) == 3
+    for q, got in zip(qs, batch):
+        want = service.search(q, sim_threshold=-1.0)
+        assert [(r.doc_id, r.final_score) for r in got] == [
+            (r.doc_id, r.final_score) for r in want
+        ]
