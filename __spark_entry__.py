@@ -24,11 +24,12 @@ Coverage map (SURVEY.md §2 + training-data ops):
 * iterative graph: pagerank_supplier_part (G1) — value-checked against
   a 12-iteration unrolled-CTE oracle
 * multimodal: audio_features (VALUE-CHECKED int16-PCM features),
-  video_frame_sample (value-checked), image_features (rows-only —
-  Philox feature kernel is not SQL-expressible)
-* non-SQL rows-only: ivf_topk (trained kmeans quantizer), embed_texts
-  (batched hash-kernel embedding) — both pytest-value-checked in
-  tests/test_ivf_embed.py
+  video_frame_sample (value-checked), image_features (hash-oracled:
+  16 exact-integer aggregates of the fake-decoded pixels, r3)
+* formerly rows-only, now hash-oracled (r3): embed_texts (md5-integer
+  unit-vector kernel, exact-int Σc² → one division), ivf_topk (the
+  TRAINED centroids are inlined into the oracle SQL as literals —
+  k-means replayed from the parquet in _ivf_oracle_sql)
 
 SQL-checked text queries use the SQL analyzer (JVM ``\\w+``; the test
 corpus is ASCII so it coincides with the Python analyzer); Porter-
@@ -379,13 +380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ensure_py_files(s),
             M.audio_features(M.generate_media(s, 300)),
         )[1],
-        # IVF ANN (trained coarse quantizer — iterative kmeans, not
-        # SQL-expressible → rows-only; exactness vs brute force is
-        # pytest-asserted in tests/test_ivf_embed.py)
+        # IVF ANN (trained coarse quantizer; hash-oracled — the trained
+        # centroids are inlined into the SQL as literals; exactness vs
+        # brute force also pytest-asserted in tests/test_ivf_embed.py)
         "ivf_topk": q_ivf_topk,
-        # batched executor-side embedding (G3 shape; hash kernel —
-        # Philox RNG not SQL-expressible → rows-only; batch-invariance
-        # and stub parity pytest-asserted)
+        # batched executor-side embedding (G3 shape; md5-integer unit
+        # vectors — hash-oracled; batch-invariance and stub parity
+        # pytest-asserted)
         "embed_texts": q_embed_texts,
     }
 
@@ -1066,6 +1067,177 @@ FROM lagd GROUP BY media_id
 """
 
 
+# image features over the deterministic payload (r2 VERDICT #5: the
+# kernel is now 16 EXACT-INTEGER aggregates of the fake-decoded 8×8×3
+# pixels — per-channel sums, per-channel sums of squares, 9-bin
+# histogram (bin = px·9 div 256), payload length — L2-normalized by
+# one double division, so both engines agree bit-for-bit)
+_IMAGE_FEATURES_SQL = f"""
+WITH img AS (
+  SELECT i AS media_id,
+         sha256('42:' || CAST(i AS VARCHAR)) AS hx,
+         least(1024 + (i % 7) * 256, 2048) AS plen
+  FROM unnest(generate_series(0, 299)) AS t(i)
+  WHERE i % 3 = 0
+),
+b AS (
+  SELECT media_id, j, {_hexbyte('j')} AS v
+  FROM img, unnest(generate_series(0, 191)) AS u(j)
+),
+f1 AS (
+  SELECT media_id, j % 3 AS dim, CAST(sum(v) AS BIGINT) AS fv
+  FROM b GROUP BY media_id, j % 3
+),
+f2 AS (
+  SELECT media_id, 3 + (j % 3) AS dim, CAST(sum(v * v) AS BIGINT) AS fv
+  FROM b GROUP BY media_id, j % 3
+),
+f3a AS (
+  SELECT media_id, 6 + ((v * 9) // 256) AS dim,
+         CAST(count(*) AS BIGINT) AS fv
+  FROM b GROUP BY media_id, (v * 9) // 256
+),
+f3 AS (
+  SELECT img.media_id, 6 + k AS dim, coalesce(f3a.fv, 0) AS fv
+  FROM img CROSS JOIN unnest(generate_series(0, 8)) AS g(k)
+  LEFT JOIN f3a ON f3a.media_id = img.media_id AND f3a.dim = 6 + k
+),
+f4 AS (SELECT media_id, 15 AS dim, CAST(plen AS BIGINT) AS fv FROM img),
+feat AS (
+  SELECT * FROM f1 UNION ALL SELECT * FROM f2
+  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+),
+ssq AS (
+  SELECT media_id, CAST(sum(fv * fv) AS BIGINT) AS ss
+  FROM feat GROUP BY media_id
+)
+SELECT feat.media_id, CAST(feat.dim AS BIGINT) AS dim,
+       round(CAST(CAST(CAST(fv AS DOUBLE) / sqrt(CAST(ss AS DOUBLE))
+             AS REAL) AS DOUBLE), 6) AS value
+FROM feat JOIN ssq USING (media_id)
+"""
+
+# embed_texts: md5-integer unit-vector kernel (operators/embed.py
+# md5_unit_vector) — c_j = fold15(md5(md5hex(text):j)) mod P − (P−1)/2,
+# v = c/sqrt(Σc²); Σc² is exact int64 in both engines, the division and
+# float32 cast are single IEEE ops (r2 VERDICT #5: was rows-only)
+_EMBED_TEXTS_SQL = """
+WITH h0 AS (SELECT doc_id, md5(text) AS h FROM documents),
+dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+xs AS (
+  SELECT doc_id, dim,
+         CAST(sum((strpos('0123456789abcdef',
+               substr(md5(h || ':' || CAST(dim AS VARCHAR)), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS x
+  FROM h0 CROSS JOIN dims CROSS JOIN digits
+  GROUP BY doc_id, dim, h
+),
+cs AS (SELECT doc_id, dim, x % 2000003 - 1000001 AS c FROM xs),
+ssq AS (
+  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS ss FROM cs GROUP BY doc_id
+)
+SELECT cs.doc_id AS vec_id, CAST(cs.dim AS BIGINT) AS dim,
+       round(CAST(CAST(CAST(c AS DOUBLE) / sqrt(CAST(ss AS DOUBLE))
+             AS REAL) AS DOUBLE), 6) AS value
+FROM cs JOIN ssq USING (doc_id)
+"""
+
+
+def _ivf_oracle_sql() -> str | None:
+    """IVF oracle with the TRAINED centroids inlined as SQL literals
+    (r2 VERDICT #5): k-means is iterative and not SQL-expressible, but
+    its OUTPUT is 8×64 floats — this helper replays exactly what
+    q_ivf_topk's ivf_build does (sorted-by-vec_id sample, same
+    similarity._kmeans call, same numpy) from the parquet directly and
+    emits the centroid/probe/query literals into pure SQL.  Returns
+    None when the sf0.01 testdata is unavailable (falls back to the
+    rows-only check)."""
+    import numpy as np
+
+    try:
+        import duckdb as _dd
+
+        rows = _dd.sql(
+            "SELECT vec_id, embedding FROM"
+            " '/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    nlist = min(8, len(sample))
+    cent = S._kmeans(sample, nlist, iters=20, seed=7)
+    by_id = {int(r[0]): r[1] for r in rows}
+    if QUERY_VEC_ID not in by_id:
+        return None
+    q = np.asarray(by_id[QUERY_VEC_ID], dtype=np.float64)
+    qunit = q / np.linalg.norm(q)
+    d = -2.0 * (cent @ qunit) + (cent * cent).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:4]]
+
+    cent_vals = ",".join(
+        f"({li},{dim},{cent[li, dim]!r})"
+        for li in range(nlist)
+        for dim in range(cent.shape[1])
+    )
+    # centroid self-dots as literals too — computed with the SAME numpy
+    # reduction the assignment kernel uses, so no cross-engine
+    # accumulation-order noise enters the argmin
+    c2 = (cent * cent).sum(axis=1)
+    c2_vals = ",".join(f"({li},{c2[li]!r})" for li in range(nlist))
+    q_vals = ",".join(f"({j},{qunit[j]!r})" for j in range(len(qunit)))
+    probe_list = ",".join(str(p) for p in probes)
+
+    return f"""
+WITH cent(list_id, dim, c) AS (VALUES {cent_vals}),
+cn(list_id, c2) AS (VALUES {c2_vals}),
+q(dim, qv) AS (VALUES {q_vals}),
+ev0 AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+),
+ev AS (SELECT vec_id, x, pos - 1 AS dim FROM ev0),
+nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ev GROUP BY vec_id),
+dist AS (
+  SELECT ev.vec_id, cent.list_id,
+         sum(-2.0 * (ev.x / nv.nrm) * cent.c) + min(cn.c2) AS d
+  FROM ev
+  JOIN cent USING (dim)
+  JOIN nv USING (vec_id)
+  JOIN cn ON cn.list_id = cent.list_id
+  GROUP BY ev.vec_id, cent.list_id
+),
+assign AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+  FROM dist
+),
+cand AS (
+  SELECT vec_id FROM assign WHERE rn = 1 AND list_id IN ({probe_list})
+),
+sc AS (
+  SELECT ev.vec_id, sum(ev.x * q.qv) / min(nv.nrm) AS cos
+  FROM ev
+  JOIN q USING (dim)
+  JOIN nv USING (vec_id)
+  WHERE ev.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY ev.vec_id
+),
+topk AS (
+  SELECT vec_id, round(cos, 6) AS cos FROM sc
+  ORDER BY round(cos, 6) DESC, vec_id ASC
+  LIMIT 21
+)
+SELECT vec_id, cos FROM topk WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cos DESC, vec_id ASC
+LIMIT 20
+"""
+
+
 # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for our
 # union+window composition; right side deduped per (key, ts) with the
 # same max-value tie rule on both sides
@@ -1198,8 +1370,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_supplier_part": _PAGERANK_SQL,
         "video_frame_sample": _FRAME_SAMPLE_SQL,
         "audio_features": _AUDIO_SQL,
-        # image_features: intentionally absent (rows-only) — the
-        # feature kernel is a Philox RNG of the payload hash, not
-        # SQL-expressible; the audio modality carries the value-checked
-        # multimodal proof instead
+        "image_features": _IMAGE_FEATURES_SQL,
+        "embed_texts": _EMBED_TEXTS_SQL,
+        **(
+            {"ivf_topk": _ivf}
+            if (_ivf := _ivf_oracle_sql()) is not None
+            else {}
+        ),
     }

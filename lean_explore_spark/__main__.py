@@ -40,12 +40,20 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify", help="manifest/fingerprint fsck")
     v.add_argument("--index", required=True)
 
-    sv = sub.add_parser("serve", help="HTTP API over the hybrid service")
+    sv = sub.add_parser(
+        "serve", help="HTTP API (default) or MCP-over-stdio (--mcp)"
+    )
     sv.add_argument("--index", required=True)
     sv.add_argument("--embeddings", required=True)
     sv.add_argument("--docs", default=None)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument(
+        "--mcp",
+        action="store_true",
+        help="serve MCP tools (search/get_by_id/get_dependencies) over"
+        " stdio JSON-RPC instead of HTTP (reference cli/main.py:640+)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -105,6 +113,11 @@ def main(argv=None) -> int:
         docs = spark.read.parquet(args.docs) if args.docs else None
         svc = SearchService(spark, args.index, emb, doc_meta=docs)
         api = SearchAPI(svc, doc_meta=docs)
+        if args.mcp:
+            from lean_explore_spark.mcp.server import MCPServer
+
+            MCPServer(api).serve()  # blocks on stdin EOF
+            return 0
         srv = APIServer(api, host=args.host, port=args.port).start()
         print(json.dumps({"serving": srv.url}), flush=True)
         try:

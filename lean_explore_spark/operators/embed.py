@@ -35,25 +35,47 @@ DEFAULT_BATCH = 64
 EmbedKernel = Callable[[List[str]], np.ndarray]
 
 
+# md5-fold kernel constants: 15-hex-digit fold (same trick as the
+# lsh/simhash oracles) centered on a prime modulus — every component
+# is an EXACT integer until the one final normalizing division, so a
+# SQL engine reproduces the vectors bit-for-bit (embed_texts is
+# hash-oracled in CORRECTNESS, not rows-only)
+_KERNEL_MOD = 2_000_003
+_KERNEL_CENTER = (_KERNEL_MOD - 1) // 2  # 1_000_001
+
+
+def md5_unit_vector(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """Deterministic unit vector: c_j = fold15(md5(md5hex(text):j))
+    mod P − (P−1)/2, then v = c / sqrt(Σ c²) — Σ c² ≤ 64·10¹² < 2⁵³ is
+    exact in int64, so the only float ops are one sqrt + one division
+    per component (cross-engine IEEE-stable)."""
+    h0 = hashlib.md5(text.encode("utf-8")).hexdigest()
+    c = np.array(
+        [
+            int(hashlib.md5(f"{h0}:{j}".encode()).hexdigest()[:15], 16)
+            % _KERNEL_MOD
+            - _KERNEL_CENTER
+            for j in range(dim)
+        ],
+        dtype=np.int64,
+    )
+    ss = int(np.dot(c, c))
+    if ss == 0:
+        return np.zeros(dim, dtype=np.float64)
+    import math
+
+    return c.astype(np.float64) / math.sqrt(ss)
+
+
 def hash_kernel_factory(dim: int = DEFAULT_DIM) -> EmbedKernel:
-    """Deterministic stand-in kernel: md5-seeded Philox unit vector per
-    text — identical to service.stub_embedder so queries embedded on
-    the driver land in the same space as documents embedded here."""
+    """Deterministic stand-in kernel (md5-integer unit vectors) —
+    identical to service.stub_embedder so queries embedded on the
+    driver land in the same space as documents embedded here."""
 
     def encode(texts: List[str]) -> np.ndarray:
         out = np.empty((len(texts), dim), dtype=np.float64)
         for i, t in enumerate(texts):
-            h = hashlib.md5(t.encode("utf-8")).digest()
-            rng = np.random.Generator(
-                np.random.Philox(
-                    key=[
-                        int.from_bytes(h[:8], "big"),
-                        int.from_bytes(h[8:], "big"),
-                    ]
-                )
-            )
-            v = rng.normal(size=dim)
-            out[i] = v / np.linalg.norm(v)
+            out[i] = md5_unit_vector(t, dim)
         return out
 
     return encode

@@ -94,13 +94,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "image codecs unavailable in this environment; "
             "pass fake=True for the deterministic test kernel"
         )
-    h = hashlib.sha256(payload).digest()
-    rng = np.random.Generator(
-        np.random.Philox(
-            key=[int.from_bytes(h[:8], "big"), int.from_bytes(h[8:16], "big")]
-        )
-    )
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    # deterministic fake: pixels ARE the (cycled) payload bytes — a
+    # pure byte-indexing function both engines can reproduce (the r2
+    # Philox kernel was not SQL-expressible, keeping image_features
+    # rows-only; this keeps the modality hash-oracled)
+    buf = (payload * (192 // max(1, len(payload)) + 1))[:192]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(8, 8, 3)
 
 
 FEATURE_DIM = 16
@@ -111,9 +110,16 @@ def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
     Pipeline shape for a real deployment: decode → resize → embed in
     the same batch iterator (one pass over payload bytes, executor-
-    side).  Feature here = per-channel means/stds of the (stubbed)
-    decode + payload length stats, L2-normalized.
+    side).  Feature = 16 EXACT-INTEGER aggregates of the decoded 8×8×3
+    image, L2-normalized: per-channel sums (3) + per-channel sums of
+    squares (3) + 9-bin histogram counts (bin = px·9 div 256) +
+    payload length.  Every component is an exact int64 until the one
+    normalizing division (Σv² < 2⁵³), so the DuckDB oracle reproduces
+    the floats bit-for-bit — image_features is hash-checked in
+    CORRECTNESS, not rows-only (r2 VERDICT #5).
     """
+    import math
+
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -125,19 +131,23 @@ def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
         for pdf in it:
             ids, feats = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_image(bytes(payload), fake=fake_decode)
+                img = decode_image(bytes(payload), fake=fake_decode).astype(
+                    np.int64
+                )
+                flat = img.reshape(-1)
                 v = np.concatenate(
                     [
-                        img.mean(axis=(0, 1)),
-                        img.std(axis=(0, 1)),
-                        np.histogram(img, bins=9, range=(0, 256))[0].astype(
-                            np.float64
-                        ),
-                        [float(len(payload))],
+                        img.sum(axis=(0, 1)),
+                        (img * img).sum(axis=(0, 1)),
+                        np.bincount((flat * 9) // 256, minlength=9),
+                        [len(payload)],
                     ]
+                ).astype(np.int64)
+                ss = int(np.dot(v, v))
+                feats.append(
+                    (v / math.sqrt(ss) if ss else v.astype(np.float64))
+                    .astype(np.float32)
                 )
-                nrm = np.linalg.norm(v)
-                feats.append((v / nrm if nrm else v).astype(np.float32))
                 ids.append(int(mid))
             yield pd.DataFrame({"media_id": ids, "feature": feats})
 

@@ -31,7 +31,7 @@ service wrapper local/service.py:293-341) stage for stage:
 
 from __future__ import annotations
 
-import hashlib
+
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -62,18 +62,13 @@ class SearchResult:
 
 
 def stub_embedder(dim: int):
-    """Deterministic query embedder (G3 stand-in): md5-seeded Philox
-    unit vector — stable across processes and partitionings."""
+    """Deterministic query embedder (G3 stand-in): the same md5-integer
+    unit-vector kernel documents are embedded with (operators.embed) —
+    stable across processes, partitionings, and engines."""
+    from lean_explore_spark.operators.embed import md5_unit_vector
 
     def embed(query: str) -> np.ndarray:
-        h = hashlib.md5(query.encode("utf-8")).digest()
-        rng = np.random.Generator(
-            np.random.Philox(
-                key=[int.from_bytes(h[:8], "big"), int.from_bytes(h[8:], "big")]
-            )
-        )
-        v = rng.normal(size=dim)
-        return (v / np.linalg.norm(v)).astype(np.float64)
+        return md5_unit_vector(query, dim)
 
     return embed
 

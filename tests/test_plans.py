@@ -104,3 +104,18 @@ def test_pack_plan_single_exchange_and_pruned_staging_scan(spark, index_dir):
     assert scan and "doc_len" not in scan[0]
     assert "tf_map" in scan[0]
     assert "PartitionFilters: [shard" in scan[0]
+
+
+def test_hybrid_topk_plan_is_candidate_pruned(spark):
+    """r2 VERDICT #1: the hybrid contract plan must not globally sort
+    or broadcast a corpus-sized relation — candidates flow top-k
+    (TakeOrderedAndProject) → broadcast into the term-pruned postings
+    scan; the only orderings are TakeOrdered cuts."""
+    import __spark_entry__ as E
+
+    df = E.q_hybrid_topk(spark, SF_ORACLE)
+    plan = plan_of(df, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan and "Sort[" not in plan  # TakeOrdered only
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
