@@ -13,9 +13,11 @@ SQL for the correctness gate.
 Scale shapes:
 * exact: one groupBy(hash) — partial-aggregated, skew-free (hashes
   are uniform).
-* minhash: shingle explode → one groupBy(doc, hash_i) min — shuffle
-  volume = docs × num_hashes, independent of shingle count; band join
-  groups by (band, key) so candidate generation never goes quadratic.
+* minhash: shingling+dedup fold INSIDE the row (r3: array transform +
+  array_distinct — no window shuffle, no distinct shuffle), md5 int
+  once per shingle in codegen, then one groupBy(doc, hash_i) min —
+  shuffle volume = docs × num_hashes, shingle-count independent; the
+  band join groups by (band, key) so candidates never go quadratic.
 * n-gram Jaccard: exact pairwise via shingle equi-join — correct but
   O(pairs sharing a shingle); the documented scale path is
   minhash_candidate_pairs as the pre-filter.
@@ -31,7 +33,7 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
@@ -70,19 +72,28 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.expr(SQL_TOKENS)).alias("pos", "tok")
+def shingle_array(n: int = 3):
+    """Column expr: DISTINCT word n-gram shingles of ``text`` as an
+    in-row array — the doc is the grouping key, so dedup
+    (array_distinct) and gram assembly fold INSIDE the row: no window
+    shuffle, no distinct shuffle (r2 shape: posexplode → window lead →
+    distinct = two exchanges per dedup query before any real work)."""
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(_toks, j + {i})" for i in range(n)
+    ) + ")"
+    return F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN array_distinct("
+        f"transform(sequence(1, size(_toks) - {n - 1}), j -> {gram}))"
+        " ELSE array() END"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    One narrow codegen stage — explode of the per-row distinct array."""
     return (
-        toks.select("doc_id", F.concat_ws(" ", *cols).alias("shingle"),
-                    F.lead("tok", n - 1).over(w).alias("_last"))
-        .where(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
+        docs.select("doc_id", F.expr(SQL_TOKENS).alias("_toks"))
+        .select("doc_id", F.explode(shingle_array(n)).alias("shingle"))
     )
 
 
@@ -99,6 +110,17 @@ def minhash_signatures(
 
     h_i(x) = (a_i·x + b_i) mod (2^31−1) over 60-bit shingle ints;
     a_i·x < 2^62 so no bigint overflow (ANSI-safe).
+
+    Shape: shingle rows (one narrow in-row explode — see shingles())
+    → md5 int ONCE per shingle (whole-stage codegen) → ×num_hashes via
+    a broadcast params join → partial-aggregated groupBy(doc, i) min.
+    Shuffle volume is docs × num_hashes rows, shingle-count
+    independent.  (An all-in-row array variant — array_min(transform)
+    per hash — measured 30× SLOWER at sf0.1: Catalyst's projection
+    collapse inlines the shingle-int array into every min expression,
+    recomputing md5 ×num_hashes per shingle, and higher-order-function
+    lambdas evaluate interpreted, outside codegen.  Measured, kept the
+    codegen-friendly row shape.)
     """
     sh = shingles(docs, n).select(
         "doc_id", (_shingle_int() % MERSENNE31).alias("x")

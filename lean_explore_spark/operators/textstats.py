@@ -139,18 +139,19 @@ def token_counts(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     """(doc_id, fp): rolling char-k-gram fingerprint — the minimum of
     md5-derived 60-bit ints over every k-char window (winnowing with
-    window = whole doc).  Exactly mirrorable in SQL; at 10^12 docs the
-    same definition runs in a vectorized Arrow UDF instead."""
-    grams = docs.select(
+    window = whole doc).  Exactly mirrorable in SQL.
+
+    The grouping key is the row itself, so the min folds INSIDE the
+    row (array_min over a transform) — one narrow whole-stage-codegen
+    pass, ZERO shuffle and no |text|-per-doc row explosion (the r2
+    explode+groupBy shape shuffled ~|corpus chars| rows; at 10^12 docs
+    that shuffle IS the job)."""
+    return docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
-                f" i -> substring(text, i, {k}))"
-            )
-        ).alias("g"),
-    )
-    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
-    return grams.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
-        F.min("h").alias("fp")
+        F.expr(
+            f"array_min(transform("
+            f"sequence(1, greatest(length(text) - {k - 1}, 1)),"
+            f" i -> cast(conv(substring(md5(substring(text, i, {k})),"
+            f" 1, 15), 16, 10) as bigint)))"
+        ).alias("fp"),
     )

@@ -86,3 +86,49 @@ def test_restart_is_exactly_once(spark, streamed):
     q.awaitTermination(120)
     after = sorted(Path(index_root, "segments").glob("seg=*"))
     assert before == after
+
+
+def test_tiered_compaction_rank_identical(spark, streamed):
+    """compact_tiered folds only the smallest segments into one merged
+    segment (base + large segments untouched) and results are
+    bit-identical before/after.  MUST run last in this module: it
+    mutates the shared segments directory."""
+    _, index_root, docs = streamed
+    # guarantee ≥3 segments regardless of micro-batch count: land one
+    # extra delta segment of fresh docs (disjoint ids via anti-join)
+    extra = (
+        P.assign_doc_ids(
+            P.extract_text(P.generate_pages(spark, 440, partitions=2))
+        )
+        .select("doc_id", P.F.col("extracted_text").alias("text"))
+        .join(docs.select("doc_id"), "doc_id", "left_anti")
+        .limit(30)
+    )
+    assert extra.count() > 0
+    IndexBuilder(
+        spark,
+        str(Path(index_root, "segments", "seg=900")),
+        num_shards=2,
+        num_buckets=4,
+    ).build(extra, resume=False)
+
+    seg_before = I.SegmentedSearch(spark, index_root)
+    want = {q: seg_before.search(q, 15) for q in QUERIES}
+
+    before = sorted(Path(index_root, "segments").glob("seg=*"))
+    assert len(before) >= 3
+    out = I.compact_tiered(
+        spark, index_root, max_segments=2, num_shards=2, num_buckets=4
+    )
+    assert len(out["merged"]) == len(before) - 1
+    after = sorted(Path(index_root, "segments").glob("seg=*"))
+    assert len(after) == out["remaining"] == 2
+    assert any("+" in p.name for p in after)  # the merged segment
+
+    seg_after = I.SegmentedSearch(spark, index_root)
+    for q in QUERIES:
+        assert seg_after.search(q, 15) == want[q], q
+
+    # below threshold → no-op
+    noop = I.compact_tiered(spark, index_root, max_segments=2)
+    assert noop["merged"] == [] and noop["remaining"] == 2
