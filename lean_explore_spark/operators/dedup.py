@@ -237,40 +237,37 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): tf-weighted SimHash over unigram tokens.
 
     Token → 60-bit md5 int; bit j votes ±tf; simhash = Σ (sum_j>0)<<j.
+
+    Shape (r3): tf·sign per (doc, term) ≡ one ±1 vote per token
+    OCCURRENCE, so the tf pre-aggregation is unnecessary — one token
+    explode, md5 in codegen, then a SINGLE partial-aggregated
+    groupBy(doc) carrying ``bits`` sum columns with LITERAL shift
+    amounts (stays in whole-stage codegen; no HOF lambdas).  The r2
+    shape exploded docs×terms×bits vote ROWS through the shuffle and
+    grouped twice; this shuffles one combined row per doc per map
+    partition.
     """
     toks = docs.select(
         "doc_id", F.explode(F.expr(SQL_TOKENS)).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    hashed = tf.select(
+    hashed = toks.select(
         "doc_id",
-        "tf",
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
         .cast("long")
         .alias("x"),
     )
-    bitsdf = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        "tf",
-        "x",
-    ).select(
-        "doc_id",
-        "j",
-        # shiftright with a column bit-count needs the SQL form
-        (F.col("tf") * (F.expr("shiftright(x, j) % 2") * 2 - 1)).alias("vote"),
+    votes = [
+        F.sum(F.expr(f"(shiftright(x, {j}) % 2) * 2 - 1")).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    sig = " + ".join(
+        f"IF(v{j} > 0, shiftleft(cast(1 as bigint), {j}), cast(0 as bigint))"
+        for j in range(bits)
     )
     return (
-        bitsdf.groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("v"))
-        .select(
-            "doc_id",
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), j)"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bit"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit").alias("simhash"))
+        hashed.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(sig).alias("simhash"))
     )
 
 
