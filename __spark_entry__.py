@@ -332,6 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda s, d: D.simhash(_docs(s, d)),
         "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
         "jaccard_refined": lambda s, d: D.jaccard_refined_pairs(_docs(s, d)),
+        # connected components over refined pairs → canonical per
+        # component (min-label propagation vs recursive-CTE closure)
+        "dedup_clusters": lambda s, d: D.dup_clusters(
+            D.jaccard_refined_pairs(_docs(s, d)).select("doc_a", "doc_b")
+        ),
         "simhash_hamming": lambda s, d: D.simhash_hamming_pairs(_docs(s, d)),
         # similarity / ANN
         "cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), QUERY_VEC_ID),
@@ -543,6 +548,54 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+"""
+
+# near-dup CLUSTERING: connected components over the refined pairs,
+# cluster_id = component min.  Oracle = WITH RECURSIVE transitive
+# closure over the symmetric pair edges (UNION dedups → terminates);
+# Spark side = min-label propagation (dedup.dup_clusters), which
+# computes the same component minima by a different algorithm — the
+# value identity IS the check.
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES},
+{_SHINGLE_X},
+params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+{_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+dup_pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM dup_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+mn AS (SELECT a AS node, min(b) AS m FROM reach GROUP BY a)
+SELECT nodes.node AS doc_id,
+       least(nodes.node, coalesce(mn.m, nodes.node)) AS cluster_id
+FROM nodes LEFT JOIN mn USING (node)
 """
 
 _SIMHASH_SQL = f"""
@@ -1334,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming": _SIMHASH_HAMMING_SQL,
         "ngram_jaccard": _JACCARD_SQL,
         "jaccard_refined": _JACCARD_REFINED_SQL,
+        "dedup_clusters": _DUP_CLUSTERS_SQL,
         "cosine_topk": _COSINE_SQL,
         "lsh_buckets": _LSH_BUCKETS_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,

@@ -271,6 +271,79 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = MIN doc_id in the component (the canonical
+    "keep this one" representative every dedup pipeline needs after
+    pair generation).
+
+    Min-label propagation: each round every node takes the least label
+    among itself and its neighbours; converges in O(component
+    diameter) rounds — near-dup components are shallow (dups of dups),
+    so a handful of rounds in practice, ``max_iter`` bounds pathology.
+    The node set is only docs that appear in some pair (singletons are
+    implicitly their own cluster), so the iteration state is bounded
+    by the candidate volume, NOT the corpus.  Each round is one
+    shuffled join + partial-agg min; labels localCheckpoint each round
+    (plans stay constant-size); the driver action per round is the
+    convergence count.  Deterministic: min is order-free.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "node")
+            .where(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def canonicalize(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Corpus after near-dup removal: keep every doc that is its own
+    cluster representative (min doc_id per component) plus all
+    singletons.  Anti-join on doc_id — at web scale the loser set is a
+    large fraction of the corpus, so this is a shuffled (or AQE-chosen)
+    anti join, NOT a broadcast."""
+    losers = dup_clusters(pairs).where(F.col("doc_id") != F.col("cluster_id"))
+    return docs.join(losers.select("doc_id"), "doc_id", "left_anti")
+
+
 def jaccard_refined_pairs(
     docs: DataFrame,
     n: int = 3,
