@@ -345,6 +345,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
         # text analysis
         "lang_id": lambda s, d: T.lang_id(_docs(s, d)),
+        # deterministic content-addressed sampling (reproducible
+        # replacement for rng sample(); per-stratum rebalancing)
+        "stratified_sample": lambda s, d: T.stratified_hash_sample(
+            _docs(s, d),
+            {"en": 200, "de": 500, "zh": 1000},
+            default_permille=100,
+        ).select("doc_id", "lang"),
+        # top-k-by-quality per language (C4/Gopher-style group filter)
+        "quality_topk": lambda s, d: T.quality_topk_per_group(
+            _docs(s, d), k=25
+        ),
         "quality_score": lambda s, d: T.quality_score(_docs(s, d)),
         "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
@@ -898,6 +909,38 @@ SELECT doc_id, n_chars, n_tokens,
 FROM base
 """
 
+# deterministic hash sampling: the md5 fold is the same 15-hex-digit
+# trick as everywhere else; rates must match the queries() literals
+_STRAT_SAMPLE_SQL = """
+WITH digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+hx AS (
+  SELECT doc_id, lang,
+         CAST(sum((strpos('0123456789abcdef',
+               substr(md5('s0:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) % 1000 AS h
+  FROM documents CROSS JOIN digits
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang FROM hx
+WHERE h < (CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500
+           WHEN 'zh' THEN 1000 ELSE 100 END)
+"""
+
+# top-k by 6dp-rounded quality per language; rank ties break by doc_id
+# (the quality CTE nests the full quality_score oracle as a subquery)
+_QUALITY_TOPK_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+ranked AS (
+  SELECT q.doc_id, d.lang, q.quality,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id ASC
+         ) AS rnk
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, quality, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 25
+"""
+
 _TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
@@ -1394,6 +1437,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_LSH_SQL,
         "lang_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
+        "stratified_sample": _STRAT_SAMPLE_SQL,
+        "quality_topk": _QUALITY_TOPK_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "region_rollup": _REGION_ROLLUP_SQL,

@@ -136,6 +136,112 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def hash_sample(
+    docs: DataFrame,
+    rate_permille: int,
+    salt: str = "s0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic content-addressed sampling: keep a row iff
+    fold15(md5(salt:id)) mod 1000 < rate_permille.
+
+    The reproducible replacement for rng ``sample()`` in training-data
+    pipelines — the same row set comes back across runs, partitionings
+    and ENGINES (the md5 fold is the repo's standard oracle-expressible
+    hash), membership is decidable per row (narrow filter, pushes to
+    the scan), and ``salt`` yields independent samples."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return docs.where(h < rate_permille)
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates_permille: Dict[str, int],
+    strata_col: str = "lang",
+    default_permille: int = 0,
+    salt: str = "s0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the language-rebalancing
+    primitive (downsample the dominant language, keep rare ones whole).
+    Same hash-threshold rule as hash_sample with a per-stratum rate;
+    still one narrow filter, no shuffle, no rng state."""
+    rate = None
+    for key, permille in sorted(rates_permille.items()):
+        cond = F.col(strata_col) == key
+        rate = (
+            F.when(cond, permille)
+            if rate is None
+            else rate.when(cond, permille)
+        )
+    rate = (
+        rate.otherwise(default_permille)
+        if rate is not None
+        else F.lit(default_permille)
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return docs.where(h < rate)
+
+
+def quality_topk_per_group(
+    docs: DataFrame, k: int = 50, group_col: str = "lang"
+) -> DataFrame:
+    """Keep the k highest-quality docs per group (the 'top X% by
+    quality per language' pipeline stage): rank = row_number over
+    (quality desc, doc_id asc) within the group — deterministic because
+    quality is the 6dp-rounded score both engines agree on bit-for-bit.
+    One window shuffle keyed by the group column; at web scale the
+    group count is tiny (languages) so pair with salting only if a
+    single group dominates AND k is huge (k rows per group is the
+    output bound either way)."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs).join(
+        docs.select("doc_id", group_col), "doc_id"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        q.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id", group_col, "quality",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     """(doc_id, fp): rolling char-k-gram fingerprint — the minimum of
     md5-derived 60-bit ints over every k-char window (winnowing with

@@ -1,0 +1,94 @@
+"""Deterministic hash sampling + per-group quality filtering."""
+
+from __future__ import annotations
+
+import pytest
+
+from lean_explore_spark.operators import textstats as T
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet").cache()
+
+
+def test_hash_sample_rate_and_determinism(spark, docs):
+    n = docs.count()
+    got = T.hash_sample(docs, 200)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    # rate accuracy: binomial-ish tolerance around 20%
+    assert 0.12 * n <= len(ids) <= 0.28 * n
+    # identical membership across partitionings and re-runs
+    ids2 = sorted(
+        r["doc_id"]
+        for r in T.hash_sample(docs.repartition(17), 200)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == ids2
+    # monotone: a higher rate keeps a superset
+    ids_500 = {
+        r["doc_id"]
+        for r in T.hash_sample(docs, 500).select("doc_id").collect()
+    }
+    assert set(ids) <= ids_500
+
+
+def test_hash_sample_salts_are_independent(spark, docs):
+    a = {r["doc_id"] for r in T.hash_sample(docs, 300, salt="a").collect()}
+    b = {r["doc_id"] for r in T.hash_sample(docs, 300, salt="b").collect()}
+    assert a != b
+    # overlap ≈ 9% of corpus (independent 30% samples), loose bounds
+    n = docs.count()
+    assert 0.02 * n <= len(a & b) <= 0.2 * n
+
+
+def test_stratified_rates_apply_per_stratum(spark, docs):
+    out = T.stratified_hash_sample(
+        docs, {"zh": 1000, "en": 0}, default_permille=100
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_lang.get("zh", 0) == totals.get("zh", 0)  # keep-all stratum
+    assert "en" not in by_lang  # dropped stratum
+    for lang, kept in by_lang.items():
+        if lang != "zh":
+            assert kept < totals[lang]  # default 10% downsample
+
+
+def test_quality_topk_per_group(spark, docs):
+    out = T.quality_topk_per_group(docs, k=5).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["rnk"], r["quality"]))
+    q_all = {
+        r["doc_id"]: r["quality"]
+        for r in T.quality_score(docs).collect()
+    }
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(by_lang) == langs
+    for lang, rows in by_lang.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        quals = [q for _, q in rows]
+        assert quals == sorted(quals, reverse=True)
+    # every kept quality must be >= the lang's 6th-best overall
+    import heapq
+
+    lang_of = {
+        r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()
+    }
+    per_lang_all: dict = {}
+    for d, q in q_all.items():
+        per_lang_all.setdefault(lang_of[d], []).append(q)
+    for lang, rows in by_lang.items():
+        top = heapq.nlargest(5, per_lang_all[lang])
+        assert [q for _, q in sorted(rows)] == top[: len(rows)]
