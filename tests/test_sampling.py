@@ -92,3 +92,38 @@ def test_quality_topk_per_group(spark, docs):
     for lang, rows in by_lang.items():
         top = heapq.nlargest(5, per_lang_all[lang])
         assert [q for _, q in sorted(rows)] == top[: len(rows)]
+
+
+def test_pipeline_demo_end_to_end(spark, tmp_path):
+    """The composed training-data pipeline (lang → quality → exact
+    dedup → near-dup canonicalize → sample → index) runs end-to-end,
+    counts are monotone non-increasing, and the built index serves
+    queries over exactly the surviving docs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_demo import run_pipeline
+
+    from lean_explore_spark.query.search import SearchEngine
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = run_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "pidx"),
+        quality_k=100,                 # keep top-100 per language
+        default_permille=800,          # 80% sample of the rest
+        num_shards=2,
+        num_buckets=4,
+    )
+    c = out["counts"]
+    seq = [
+        c["input"], c["after_quality"], c["after_exact_dedup"],
+        c["after_near_dedup"], c["after_sampling"],
+    ]
+    assert seq == sorted(seq, reverse=True)
+    assert c["after_sampling"] > 0
+    assert out["index"]["n_docs"] == c["after_sampling"]
+    eng = SearchEngine(spark, str(tmp_path / "pidx"), preload=True)
+    hits = eng.search("customer orders data", 10)
+    assert hits and eng.n_docs == c["after_sampling"]
