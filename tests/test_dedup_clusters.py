@@ -72,3 +72,17 @@ def test_contract_query_matches_recursive_oracle(spark, duck):
     duck_pdf = duck.execute(E.oracle_sql()["dedup_clusters"]).fetchdf()
     assert len(spark_pdf) > 0
     _compare(spark_pdf, duck_pdf, "dedup_clusters")
+
+
+def test_driver_and_distributed_regimes_agree(spark):
+    import random
+
+    rnd = random.Random(11)
+    edges = [(rnd.randrange(80), rnd.randrange(80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = _pairs(spark, edges)
+    drv = sorted(map(tuple, D.dup_clusters(pairs).collect()))
+    dist = sorted(
+        map(tuple, D.dup_clusters(pairs, driver_threshold=0).collect())
+    )
+    assert drv == dist
