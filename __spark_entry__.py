@@ -11,7 +11,12 @@ Coverage map (SURVEY.md §2 + training-data ops):
   doc_stats, corpus_stats, bm25_topk (§2.4 A7, §2.9)
 * dedup family: dedup_exact (A2/F5), minhash_signatures,
   minhash_pairs, simhash, simhash_hamming (pigeonhole-exact),
-  ngram_jaccard, jaccard_refined (LSH→exact pipeline)
+  ngram_jaccard, jaccard_refined (LSH→exact pipeline),
+  dedup_clusters (connected components vs a WITH RECURSIVE
+  transitive-closure oracle)
+* pipeline ops (r3): stratified_sample (deterministic md5-threshold
+  membership, per-lang rates), quality_topk (top-k by 6dp quality per
+  language)
 * similarity: cosine_topk (brute force), lsh_buckets (integer-exact
   plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
 * hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →

@@ -67,10 +67,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """(doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
     stop_ratio, quality): length/punctuation/stopword heuristics
-    (the Gopher/C4-style quality-signal family), rounded 6dp."""
+    (the Gopher/C4-style quality-signal family), rounded 6dp.
+    ``extra_cols`` ride through the (narrow) plan so downstream
+    group-wise stages never self-join the corpus to refetch them."""
     en_sw = STOPWORDS["en"]
     toks = F.expr(SQL_TOKENS)
     n_tokens = F.size(toks)
@@ -89,6 +91,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     d = docs.select(
         "doc_id",
+        *extra_cols,
         F.length("text").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         token_chars.alias("_tc"),
@@ -112,6 +115,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return d.select(
         "doc_id",
+        *extra_cols,
         "n_chars",
         "n_tokens",
         F.round(mean_tok, 6).alias("mean_token_len"),
@@ -220,15 +224,15 @@ def quality_topk_per_group(
     quality per language' pipeline stage): rank = row_number over
     (quality desc, doc_id asc) within the group — deterministic because
     quality is the 6dp-rounded score both engines agree on bit-for-bit.
-    One window shuffle keyed by the group column; at web scale the
-    group count is tiny (languages) so pair with salting only if a
-    single group dominates AND k is huge (k rows per group is the
-    output bound either way)."""
+    The group column rides THROUGH the quality computation (no corpus
+    self-join to refetch it) so the plan is one narrow pass + ONE
+    window exchange keyed by the group column; at web scale the group
+    count is tiny (languages), so pair with salting only if a single
+    group dominates AND k is huge (k rows per group is the output
+    bound either way)."""
     from pyspark.sql import Window
 
-    q = quality_score(docs).join(
-        docs.select("doc_id", group_col), "doc_id"
-    )
+    q = quality_score(docs, extra_cols=(group_col,))
     w = Window.partitionBy(group_col).orderBy(
         F.desc("quality"), F.asc("doc_id")
     )
