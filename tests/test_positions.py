@@ -120,3 +120,32 @@ def test_map_spans_spark_operator(spark):
             r["start_char_idx"],
             r["end_char_idx"],
         ) == want
+
+
+@pytest.mark.skipif(REF_CLS is None, reason="reference not importable")
+def test_differential_hypothesis_random_unicode():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                max_codepoint=0x2FFFF,
+            ),
+            max_size=40,
+        )
+    )
+    def check(text):
+        ours = PositionMapper(text)
+        ref = REF_CLS(text)
+        nb = ours.total_bytes
+        for s in range(0, nb + 2):
+            for e in (s, s + 1, nb, nb + 1):
+                if e < s:
+                    continue
+                assert ours.convert_byte_span_to_details(
+                    s, e
+                ) == ref.convert_byte_span_to_details(s, e), (text, s, e)
+
+    check()
