@@ -77,7 +77,10 @@ def shingle_array(n: int = 3):
     in-row array — the doc is the grouping key, so dedup
     (array_distinct) and gram assembly fold INSIDE the row: no window
     shuffle, no distinct shuffle (r2 shape: posexplode → window lead →
-    distinct = two exchanges per dedup query before any real work)."""
+    distinct = two exchanges per dedup query before any real work).
+    Memory bound: the per-row array is O(doc tokens) — fine for web
+    pages (the input_hint corpus); for unbounded documents pre-truncate
+    or fall back to an explode shape."""
     gram = "concat_ws(' ', " + ", ".join(
         f"element_at(_toks, j + {i})" for i in range(n)
     ) + ")"
