@@ -378,17 +378,20 @@ class IndexBuilder:
             got = [rb for rb in batches if rb.num_rows]
             if not got:
                 return
-            tbl = pa.Table.from_batches(got)
+            tbl = pa.Table.from_batches(got).combine_chunks()
             del got
-            # large_string BEFORE combine_chunks (ADVICE r2): a task
-            # whose term column exceeds the 2 GiB 32-bit-offset Arrow
-            # limit would otherwise stay multi-chunk and break the
-            # single-chunk run-boundary slice below; 64-bit offsets
-            # always combine to one chunk.
-            ti = tbl.schema.get_field_index("term")
-            tbl = tbl.set_column(
-                ti, "term", tbl.column("term").cast(pa.large_string())
-            ).combine_chunks()
+            # 2 GiB guard (ADVICE r2): a task whose term column
+            # exceeds the 32-bit-offset Arrow limit stays multi-chunk
+            # after combine_chunks, which would break the single-chunk
+            # run-boundary slice below — recombine via 64-bit offsets.
+            # CONDITIONAL: the cast is a full column copy, so the
+            # normal path (every task ≤ span × bucket share) pays
+            # nothing.
+            if tbl.column("term").num_chunks > 1:
+                ti = tbl.schema.get_field_index("term")
+                tbl = tbl.set_column(
+                    ti, "term", tbl.column("term").cast(pa.large_string())
+                ).combine_chunks()
             n = tbl.num_rows
             ids = tbl.column("doc_id").to_numpy()
             shard_np = (ids // span).astype(np.int32)
