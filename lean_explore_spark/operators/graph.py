@@ -156,35 +156,39 @@ def _pagerank_driver_ranks(
     float64 formula as the distributed path and the unrolled-CTE
     oracle: rank' = base + α·(in_sum + dangling_mass/n)."""
     import numpy as np
+    import pandas as pd
 
-    node_ids = np.array(
-        sorted(r["node"] for r in nodes.collect()), dtype=np.int64
+    # Arrow both ways (toPandas / createDataFrame-from-pandas): at the
+    # 5M-node ceiling the O(n) driver↔cluster transfer is columnar
+    # batches, not py4j row objects
+    node_ids = np.sort(
+        nodes.toPandas()["node"].to_numpy(dtype=np.int64)
     )
     dang_idx = np.searchsorted(
         node_ids,
-        np.array(
-            sorted(r["node"] for r in dangling_nodes.collect()),
-            dtype=np.int64,
+        np.sort(
+            dangling_nodes.toPandas()["node"].to_numpy(dtype=np.int64)
         ),
     )
     ranks = np.full(n, 1.0 / n, dtype=np.float64)
 
     for _ in range(max_iter):
         rdf = spark.createDataFrame(
-            zip(node_ids.tolist(), ranks.tolist()), "node long, rank double"
+            pd.DataFrame({"node": node_ids, "rank": ranks})
         )
-        rows = (
+        contrib = (
             weighted.join(F.broadcast(rdf), weighted.src == rdf.node)
             .select("dst", (F.col("w") * F.col("rank")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
-            .collect()
+            .toPandas()
         )
         in_sum = np.zeros(n, dtype=np.float64)
-        for r in rows:
-            in_sum[np.searchsorted(node_ids, int(r["dst"]))] = float(
-                r["in_sum"]
+        if len(contrib):
+            pos = np.searchsorted(
+                node_ids, contrib["dst"].to_numpy(dtype=np.int64)
             )
+            in_sum[pos] = contrib["in_sum"].to_numpy(dtype=np.float64)
         dm = float(np.sum(ranks[dang_idx])) if len(dang_idx) else 0.0
         new_ranks = base + alpha * (in_sum + dm / float(n))
         delta = float(np.abs(new_ranks - ranks).sum())
@@ -193,7 +197,7 @@ def _pagerank_driver_ranks(
             break
 
     return spark.createDataFrame(
-        zip(node_ids.tolist(), ranks.tolist()), "node long, rank double"
+        pd.DataFrame({"node": node_ids, "rank": ranks})
     )
 
 
