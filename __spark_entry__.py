@@ -110,6 +110,19 @@ def _analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANALYZED_CACHE[key]
 
 
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached shingle relation: five dedup contract queries
+    consume the same (doc_id, shingle) rows — materialize once
+    (reuse-a-relation-across-stages, same pattern as _analyzed)."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = D.shingles(_docs(spark, sf_dir)).cache()
+    return _SHINGLE_CACHE[key]
+
+
 def q_tokens_tf(spark, sf_dir):
     return A.term_doc_tf(_analyzed(spark, sf_dir))
 
@@ -332,16 +345,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         # dedup family
         "dedup_exact": lambda s, d: D.exact_dup_groups(_docs(s, d)),
-        "minhash_signatures": lambda s, d: D.minhash_signatures(_docs(s, d)),
-        "minhash_pairs": lambda s, d: D.minhash_candidate_pairs(_docs(s, d)),
+        "minhash_signatures": lambda s, d: D.minhash_signatures(
+            _docs(s, d), shingles_df=_shingles(s, d)
+        ),
+        "minhash_pairs": lambda s, d: D.minhash_candidate_pairs(
+            _docs(s, d), shingles_df=_shingles(s, d)
+        ),
         "simhash": lambda s, d: D.simhash(_docs(s, d)),
-        "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
-        "jaccard_refined": lambda s, d: D.jaccard_refined_pairs(_docs(s, d)),
+        "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(
+            _docs(s, d), shingles_df=_shingles(s, d)
+        ),
+        "jaccard_refined": lambda s, d: D.jaccard_refined_pairs(
+            _docs(s, d), shingles_df=_shingles(s, d)
+        ),
         # connected components over refined pairs → canonical per
         # component (min-label propagation vs recursive-CTE closure)
         "dedup_clusters": lambda s, d: D.dup_clusters(
-            D.jaccard_refined_pairs(_docs(s, d)).select("doc_a", "doc_b")
+            D.jaccard_refined_pairs(
+                _docs(s, d), shingles_df=_shingles(s, d)
+            ).select("doc_a", "doc_b")
         ),
+        # the corpus AFTER near-dup removal (anti-join of cluster
+        # losers) — the pipeline's actual output relation
+        "dedup_canonical": lambda s, d: D.canonicalize(
+            _docs(s, d),
+            D.jaccard_refined_pairs(
+                _docs(s, d), shingles_df=_shingles(s, d)
+            ).select("doc_a", "doc_b"),
+        ).select("doc_id", "lang"),
         "simhash_hamming": lambda s, d: D.simhash_hamming_pairs(_docs(s, d)),
         # similarity / ANN
         "cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), QUERY_VEC_ID),
@@ -612,6 +643,16 @@ mn AS (SELECT a AS node, min(b) AS m FROM reach GROUP BY a)
 SELECT nodes.node AS doc_id,
        least(nodes.node, coalesce(mn.m, nodes.node)) AS cluster_id
 FROM nodes LEFT JOIN mn USING (node)
+"""
+
+# corpus after near-dup removal: documents minus cluster LOSERS
+# (members whose id is not the component min) — nests the clusters
+# oracle as a subquery
+_DEDUP_CANONICAL_SQL = f"""
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({_DUP_CLUSTERS_SQL}) WHERE doc_id <> cluster_id
+)
 """
 
 _SIMHASH_SQL = f"""
@@ -1436,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "jaccard_refined": _JACCARD_REFINED_SQL,
         "dedup_clusters": _DUP_CLUSTERS_SQL,
+        "dedup_canonical": _DEDUP_CANONICAL_SQL,
         "cosine_topk": _COSINE_SQL,
         "lsh_buckets": _LSH_BUCKETS_SQL,
         "embedding_near_dup": _NEAR_DUP_SQL,
