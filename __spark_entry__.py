@@ -44,6 +44,7 @@ oracle (tests/test_index_and_wand.py, tests/test_reference_queries.py).
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -210,6 +211,38 @@ def q_stale_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.where(F.col("doc_id") % 5 != 0)
     return MG.stale_rows(
         docs.select("doc_id", "lang"), incoming, "doc_id"
+    )
+
+
+def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's named skew defuse as a contract query: salted
+    two-stage count over the LOW-cardinality ``event_type`` key (a few
+    hot values — the canonical skewed aggregate).  Result is identical
+    to a plain groupBy; the salt only routes partials (operators/
+    relational.py:salted_two_stage_count)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return R.salted_two_stage_count(
+        ev.select("event_id", "event_type"), "event_type"
+    )
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregation on its unified BATCH path
+    (streaming/windows.windowed_event_counts — same code serves
+    readStream): 10-minute tumbling event-time windows over events.
+    Window bounds exported as exact epoch µs (BIGINT both engines;
+    epoch_us ↔ unix_micros — see memory: timestamp dtype parity)."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.streaming import windows as SW
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return SW.windowed_event_counts(ev).select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        F.unix_micros("win_end").alias("win_end_us"),
+        "event_type",
+        "n_events",
+        "total_value",
     )
 
 
@@ -403,6 +436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_minmax_norm": R.acctbal_minmax_norm,
         "pricing_summary": R.pricing_summary,
         "event_sessionization": R.event_sessionization,
+        # north-rule skew defuse (salted two-stage aggregation)
+        "salted_count": q_salted_count,
+        # unified batch/stream windowed event-time aggregation
+        "windowed_counts": q_windowed_counts,
         # as-of join (point-in-time lookup; union+window composition)
         "asof_attribution": R.purchase_attribution,
         # KMV distinct sketch (deterministic, oracle-checkable)
@@ -1286,15 +1323,25 @@ FROM cs JOIN ssq USING (doc_id)
 """
 
 
-def _ivf_oracle_sql() -> str | None:
+ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _ivf_oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> str | None:
     """IVF oracle with the TRAINED centroids inlined as SQL literals
     (r2 VERDICT #5): k-means is iterative and not SQL-expressible, but
     its OUTPUT is 8×64 floats — this helper replays exactly what
     q_ivf_topk's ivf_build does (sorted-by-vec_id sample, same
     similarity._kmeans call, same numpy) from the parquet directly and
-    emits the centroid/probe/query literals into pure SQL.  Returns
-    None when the sf0.01 testdata is unavailable (falls back to the
-    rows-only check)."""
+    emits the centroid/probe/query literals into pure SQL.
+
+    The path is keyed on the scale factor the gate compares against
+    (ADVICE r3: it was hardcoded sf0.01, so any other gate sf trained
+    the oracle on the wrong data): the driver's gate runs at sf0.01;
+    run it elsewhere by setting $SPARK_GRAFT_ORACLE_SF_DIR to that sf
+    dir.  Returns None (→ the documented rows-only fallback) when the
+    keyed parquet is unavailable."""
     import numpy as np
 
     try:
@@ -1302,7 +1349,7 @@ def _ivf_oracle_sql() -> str | None:
 
         rows = _dd.sql(
             "SELECT vec_id, embedding FROM"
-            " '/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+            f" '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
         ).fetchall()
     except Exception:
         return None
@@ -1495,6 +1542,19 @@ def oracle_sql() -> dict[str, str]:
         "acctbal_minmax_norm": _MINMAX_SQL,
         "pricing_summary": _PRICING_SQL,
         "event_sessionization": _SESSIONS_SQL,
+        "salted_count": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "windowed_counts": """
+SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS win_start_us,
+       epoch_us(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE)
+         AS win_end_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
         "asof_attribution": _ASOF_SQL,
         "kmv_distinct": _KMV_SQL,
         "sql_revenue_by_nation": (

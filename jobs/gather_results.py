@@ -1,0 +1,163 @@
+"""Multi-engine search-result dumper (r3 VERDICT #8): run every query
+through each serving path — WAND (auto), forced bulk, forced
+block-max, the candidate-free DataFrame scorer, and the distributed
+per-shard-task path — and emit one JSON line per (query, engine) with
+the top-k (doc_id, score) pairs.
+
+The analog of the reference's ``benchmarking/gather_search_data.py``
+(:34-40), which dumps per-query results from multiple engines for an
+offline ranking study; here the engines are this repo's own serving
+paths, so the dump doubles as a turnkey side-by-side comparison (all
+lines for a query should carry identical results — rank-identity made
+inspectable).
+
+Usage:
+    python jobs/gather_results.py --sf-dir /root/testdata/sf0.001 \
+        [--queries /root/reference/benchmarking/queries.txt] \
+        [--k 10] [--engines wand,bulk,blockmax,df,distributed] \
+        [--out /tmp/results.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+DEFAULT_QUERIES = [
+    "fast table scan merge join",
+    "customer orders data",
+    "compress encode block",
+    "theorem definition group",
+    "the data page",
+]
+
+
+def run(
+    sf_dir: str,
+    queries: list[str],
+    k: int,
+    engines: list[str],
+    out_path: str | None,
+    workdir: str,
+) -> list[dict]:
+    from lean_explore_spark.functions.tokenizer import tokenize_stem
+    from lean_explore_spark.index.builder import IndexBuilder
+    from lean_explore_spark.operators import analyze as A
+    from lean_explore_spark.pyfiles import ensure_py_files
+    from lean_explore_spark.query import df_scorer
+    from lean_explore_spark.query.search import SearchEngine
+    from lean_explore_spark.session import get_spark
+
+    spark = get_spark(app_name="gather_results")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_py_files(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    idx = Path(workdir) / "idx"
+    if not (idx / "stats.json").exists():
+        IndexBuilder(spark, str(idx), num_shards=4, num_buckets=8).build(
+            docs, resume=False
+        )
+    engine = SearchEngine(spark, str(idx), preload=True)
+    analyzed = A.analyze(docs, stem=True).cache()
+    tdf = A.term_doc_tf(analyzed)
+    stats = A.doc_stats(analyzed)
+
+    def run_engine(name: str, tokens: list[str]):
+        if name in ("wand", "bulk", "blockmax"):
+            mode = {"wand": "auto"}.get(name, name)
+            return engine.search_tokens(tokens, k, mode=mode)
+        if name == "df":
+            rows = df_scorer.score_query(spark, tdf, stats, tokens, k).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        if name == "distributed":
+            return engine.search_tokens_distributed(tokens, k)
+        raise ValueError(f"unknown engine {name!r}")
+
+    lines = []
+    for q in queries:
+        tokens = tokenize_stem(q)
+        for name in engines:
+            t0 = time.time()
+            topk = run_engine(name, tokens)
+            lines.append(
+                {
+                    "query": q,
+                    "engine": name,
+                    "k": k,
+                    "sec": round(time.time() - t0, 4),
+                    "results": [
+                        {"doc_id": int(d), "score": float(s)} for d, s in topk
+                    ],
+                }
+            )
+    if out_path:
+        with open(out_path, "w") as fh:
+            for ln in lines:
+                fh.write(json.dumps(ln) + "\n")
+    return lines
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--queries", default=None, help="one query per line")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--engines", default="wand,bulk,blockmax,df,distributed"
+    )
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--workdir", default="/tmp/gather_results")
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.queries:
+        queries = [
+            q.strip()
+            for q in Path(args.queries).read_text().splitlines()
+            if q.strip()
+        ]
+    else:
+        queries = DEFAULT_QUERIES
+    if args.limit:
+        queries = queries[: args.limit]
+
+    lines = run(
+        args.sf_dir,
+        queries,
+        args.k,
+        args.engines.split(","),
+        args.out,
+        args.workdir,
+    )
+    # summary line: queries where engines disagree (should be zero —
+    # the index paths are bit-exact; the DataFrame scorer sums in
+    # shuffle order, so compare at its documented 1e-9 noise floor)
+    by_q: dict = {}
+    for ln in lines:
+        by_q.setdefault(ln["query"], set()).add(
+            tuple((r["doc_id"], round(r["score"], 9)) for r in ln["results"])
+        )
+    disagree = [q for q, v in by_q.items() if len(v) > 1]
+    print(
+        json.dumps(
+            {
+                "queries": len(by_q),
+                "engines": args.engines.split(","),
+                "k": args.k,
+                "lines": len(lines),
+                "disagreeing_queries": disagree,
+                "out": args.out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,9 +59,12 @@ def run_pipeline(
     )
     docs = docs.drop("lang").join(lang, "doc_id")
 
-    # 2. per-language quality top-k (skip when k covers everything)
-    kept = T.quality_topk_per_group(docs, k=quality_k).select("doc_id")
-    docs = docs.join(kept, "doc_id")
+    # 2. per-language quality top-k — actually skipped when k covers
+    # every doc (ADVICE r3: the guard used to be a comment only, and
+    # the default config paid a corpus-wide window + join for nothing)
+    if quality_k < counts["input"]:
+        kept = T.quality_topk_per_group(docs, k=quality_k).select("doc_id")
+        docs = docs.join(kept, "doc_id")
     counts["after_quality"] = docs.count()
 
     # 3. exact dedup: keep first-writer canonical per content hash

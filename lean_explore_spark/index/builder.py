@@ -252,6 +252,10 @@ class IndexBuilder:
             F.count(F.lit(1)).alias("n"),
             F.avg("doc_len").alias("avgdl"),
             F.sum("doc_len").alias("total_tokens"),
+            # the occupied shard list rides the same job: serving
+            # discovers shards from stats.json, never from a
+            # filesystem listing (object-store-safe, r3 VERDICT #7)
+            F.array_sort(F.collect_set("shard")).alias("shards"),
         )
         # partitioned by shard: WAND tasks load only their shard's
         # doc-length slice (span-bounded), never the global array
@@ -273,6 +277,7 @@ class IndexBuilder:
             "num_buckets": self.num_buckets,
             "block_size": self.block_size,
             "stem": self.stem,
+            "shards": [int(s) for s in row["shards"]],
         }
         self.paths.stats_json.write_text(json.dumps(info))
         return info

@@ -81,17 +81,56 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def _real_image_codec():
+    """Feature-detect an installed image codec (r3 VERDICT #5): a
+    production deploy with Pillow or imageio gets real decode with no
+    code changes; this sandbox has neither, so tests exercise the path
+    behind a skipif and the contract query stays on the deterministic
+    kernel.  Returns a ``bytes -> HxWx3 uint8 ndarray`` callable or
+    None."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        def _decode(payload: bytes) -> np.ndarray:
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+
+        return _decode
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio  # type: ignore
+
+        def _decode(payload: bytes) -> np.ndarray:
+            arr = np.asarray(iio.imread(payload))
+            if arr.ndim == 2:  # grayscale → RGB
+                arr = np.stack([arr] * 3, axis=-1)
+            return arr[..., :3].astype(np.uint8)
+
+        return _decode
+    except ImportError:
+        return None
+
+
+_REAL_IMAGE_CODEC = _real_image_codec()
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Real decoding needs an image codec (PIL/libjpeg) that is not in
-    this container — STUB (north-star plumbing is the Spark side).
     ``fake=True`` returns a deterministic pseudo-image derived from the
-    payload hash so downstream operators are testable.
+    payload bytes (exactly mirrorable in the DuckDB oracle — the
+    contract query pins this kernel).  ``fake=False`` uses a real
+    codec when one is importable (PIL, then imageio) and raises
+    NotImplementedError only when the environment has none.
     """
     if not fake:
+        if _REAL_IMAGE_CODEC is not None:
+            return _REAL_IMAGE_CODEC(payload)
         raise NotImplementedError(
-            "image codecs unavailable in this environment; "
+            "no image codec importable (tried PIL, imageio); "
             "pass fake=True for the deterministic test kernel"
         )
     # deterministic fake: pixels ARE the (cycled) payload bytes — a

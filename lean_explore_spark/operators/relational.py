@@ -210,7 +210,10 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def salted_two_stage_count(
-    df: DataFrame, key_col: str, salt_buckets: int = 16
+    df: DataFrame,
+    key_col: str,
+    salt_buckets: int = 16,
+    salt_expr=None,
 ) -> DataFrame:
     """Salted two-stage aggregation (north_rule's named skew defuse, in
     its generic form): stage 1 groups by (key, salt) — the hot key's
@@ -222,9 +225,24 @@ def salted_two_stage_count(
     no natural range key.  The salt is a deterministic row hash (all
     columns), not monotonically_increasing_id: stage retries and
     re-partitionings re-derive the SAME salt per row, keeping shuffle
-    outputs byte-stable like the rest of the repo."""
+    outputs byte-stable like the rest of the repo.
+
+    Limitation (ADVICE r3): fully IDENTICAL rows all hash to one salt
+    bucket, so an all-columns hash cannot spread a duplicate-heavy hot
+    key.  For such inputs pass ``salt_expr`` mixing in a per-row
+    disambiguator that is stable for your source — e.g. for a file
+    source ``F.xxhash64(F.input_file_name(),
+    F.col("_metadata.row_index"))`` (re-derived identically on task
+    retry, unlike monotonically_increasing_id).  Determinism of the
+    RESULT is unaffected either way — the salt only routes partials."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(
+            salt_expr
+            if salt_expr is not None
+            else F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(salt_buckets),
+        ),
     )
     partial = salted.groupBy(key_col, "_salt").agg(
         F.count("*").alias("_partial")

@@ -60,8 +60,19 @@ def _row_to_packed(row) -> codec.PackedPostings:
 
 
 class SearchEngine:
+    # cold-mode (preload=False) bound on cached doc-length slices: a
+    # long-running cold service that eventually touches every shard
+    # must NOT accumulate corpus-sized doc_stats on the driver — that
+    # is exactly what cold mode exists to avoid (r3 VERDICT #2).
+    # Preload mode pins everything by design and ignores the bound.
+    DL_CACHE_SHARDS = 64
+
     def __init__(
-        self, spark: SparkSession, index_dir: str, preload: bool = False
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        preload: bool = False,
+        dl_cache_shards: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = Path(index_dir)
@@ -71,15 +82,23 @@ class SearchEngine:
         self.span: int = self.stats["span"]
         self.num_buckets: int = self.stats["num_buckets"]
         self.stem: bool = self.stats.get("stem", True)
-        self._dl_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        from collections import OrderedDict
+
+        self._dl_cache: "OrderedDict[int, Tuple[np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
+        self._dl_cache_bound = dl_cache_shards or self.DL_CACHE_SHARDS
         self._dict_cache: Optional[Dict[str, int]] = None
         self._postings_cache: Optional[Dict[str, list]] = None
+        self._shard_list: Optional[List[int]] = None
+        self._preloaded = False
         if preload:
             self._preload()
 
     # -- asset access ----------------------------------------------------
 
     def _preload(self) -> None:
+        self._preloaded = True  # set first: _doc_lens skips LRU eviction
         d = self.spark.read.parquet(str(self.root / "dictionary")).collect()
         self._dict_cache = {r["term"]: int(r["df"]) for r in d}
         rows = self.spark.read.parquet(str(self.root / "postings")).collect()
@@ -135,6 +154,12 @@ class SearchEngine:
             ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
             lens = np.array([r["doc_len"] for r in rows], dtype=np.int64)
             self._dl_cache[shard] = (ids, lens)
+            if not self._preloaded:
+                # LRU-bound in cold mode (preload pins by design)
+                while len(self._dl_cache) > self._dl_cache_bound:
+                    self._dl_cache.popitem(last=False)
+        else:
+            self._dl_cache.move_to_end(shard)
         return self._dl_cache[shard]
 
     def iter_doc_ids(self):
@@ -147,11 +172,24 @@ class SearchEngine:
                 yield int(d)
 
     def _shards(self) -> List[int]:
-        return sorted(
-            int(p.name.split("=", 1)[1])
-            for p in (self.root / "doc_stats").iterdir()
-            if p.name.startswith("shard=")
-        )
+        """Shard ids with ≥1 doc — from the authoritative metadata, not
+        a filesystem listing (r3 VERDICT #7: local-FS ``iterdir`` breaks
+        on an object store).  New builds record the list in stats.json;
+        older indexes fall back to ONE partition-column-only parquet
+        read of doc_stats (Catalyst answers it from partition discovery,
+        which is object-store-safe)."""
+        if self._shard_list is None:
+            shards = self.stats.get("shards")
+            if shards is None:
+                rows = (
+                    self.spark.read.parquet(str(self.root / "doc_stats"))
+                    .select("shard")
+                    .distinct()
+                    .collect()
+                )
+                shards = [int(r["shard"]) for r in rows]
+            self._shard_list = sorted(int(s) for s in shards)
+        return self._shard_list
 
     # -- query -----------------------------------------------------------
 
@@ -205,6 +243,10 @@ class SearchEngine:
                     yield d
 
         return wand.finalize_topk(heap, ctx, k, unmatched_iter())
+
+    # tests may set this to a callable to capture the distributed
+    # merge plan before execution (kept None in production)
+    _plan_probe = None
 
     # below this many postings in a shard, plain exhaustive bulk wins:
     # the block-max bound computation can't pay for itself on a handful
@@ -300,9 +342,18 @@ class SearchEngine:
         Exactness: each shard's local top-k is a superset of that
         shard's contribution to the global top-k (per-shard θ is only
         lower than a global θ would be → never over-prunes); the merge
-        re-sorts by (score desc, doc_id asc).  If any shard returns
-        fewer than k rows it scored ALL its matched docs, so the
-        delta-floor fill sees the complete matched set.
+        re-sorts by (score desc, doc_id asc).  Delta-floor safety: a
+        matched doc always scores STRICTLY above the floor (idf > 0,
+        tf ≥ 1 ⇒ X > 0), so floor-fill docs can only enter when fewer
+        than k matched docs exist globally — and then every shard
+        emitted its complete matched set (local k was never hit), so
+        the fill sees all matched ids.
+
+        Driver stays O(k): the per-shard top-k rows are folded through
+        Spark's ``TakeOrderedAndProject`` (orderBy+limit) — each task
+        keeps a k-heap and the driver merges only the per-partition
+        winners, never k·S rows (r3 VERDICT #4: at 10⁵ shards the old
+        collect-then-truncate held k·S driver rows).
         """
         from lean_explore_spark.pyfiles import ensure_py_files
 
@@ -352,19 +403,18 @@ class SearchEngine:
                     {
                         "doc_id": [e[2] for e in local_heap],
                         "score": [e[0] for e in local_heap],
-                        "n_matched": [len(local_heap)] * len(local_heap),
                     }
                 )
 
-            rows = (
+            topk_df = (
                 postings.groupBy("shard")
-                .applyInPandas(
-                    score_shard,
-                    schema="doc_id long, score double, n_matched int",
-                )
-                .collect()
+                .applyInPandas(score_shard, schema="doc_id long, score double")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
             )
+            if self._plan_probe is not None:  # test hook (plan assert)
+                self._plan_probe(topk_df)
+            rows = topk_df.collect()
+            assert len(rows) <= k  # O(k) driver rows by construction
             heap = [(r["score"], -r["doc_id"], r["doc_id"]) for r in rows]
-            heap.sort(reverse=True)
-            heap = heap[:k][::-1]  # keep k best, min-heap order unneeded
         return self._finalize(heap, ctx, k)

@@ -34,6 +34,17 @@ def get_spark(
         # MIN/MAX/COUNT over raw parquet answer from footer statistics
         # (no scan) — the builder's doc-id bounds pass becomes metadata
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # v2 commit: task-side renames instead of a DRIVER-SERIAL job
+        # commit — the builder's partitionBy(shard) staging write emits
+        # O(tasks × shards) files, and the v1 job-commit rename loop is
+        # pure fixed driver time that caps N→4N scaling efficiency
+        # (measured: ~12 s fixed across build stages at 400k docs).
+        # v2's weaker job-commit atomicity is safe here: readers are
+        # gated by app-level markers (_STAGING_DONE, manifest commits,
+        # stats.json), never by directory existence
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # don't fsync every parquet file on local/test disks
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )

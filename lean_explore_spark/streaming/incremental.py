@@ -31,8 +31,9 @@ results are rank-identical to a from-scratch index over the same docs
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,56 @@ from lean_explore_spark.index import codec
 from lean_explore_spark.index.builder import IndexBuilder
 from lean_explore_spark.query import wand
 from lean_explore_spark.query.search import SearchEngine, _row_to_packed
+
+# ---------------------------------------------------------------------------
+# Live-segment manifest (ADVICE r3, medium): readers must never see a
+# half-finished compaction.  segments/MANIFEST.json lists the LIVE
+# segment dir names and is replaced atomically (os.replace), so segment
+# visibility flips in one step: a crash at ANY point of a compaction
+# leaves readers on a consistent doc universe (either all inputs, or
+# the merged segment) — never duplicates, never a partial dir.
+# Non-live dirs are garbage from a crashed run; compaction sweeps them.
+# Single-writer (one driver) by design, like the index builder.
+
+_MANIFEST = "MANIFEST.json"
+
+
+def _seg_root(index_root) -> Path:
+    return Path(index_root) / "segments"
+
+
+def _complete_segment_dirs(seg_root: Path) -> List[str]:
+    """seg=* dirs whose build finished (pack manifest present)."""
+    return sorted(
+        p.name
+        for p in seg_root.glob("seg=*")
+        if (p / "stats.json").exists() and (p / "manifest").exists()
+    )
+
+
+def live_segments(index_root) -> List[str]:
+    """Live segment dir names: manifest if present, else the complete
+    dirs on disk (pre-manifest layouts keep working)."""
+    seg_root = _seg_root(index_root)
+    p = seg_root / _MANIFEST
+    if p.exists():
+        return sorted(json.loads(p.read_text())["live"])
+    return _complete_segment_dirs(seg_root)
+
+
+def _write_live(index_root, names) -> None:
+    seg_root = _seg_root(index_root)
+    seg_root.mkdir(parents=True, exist_ok=True)
+    tmp = seg_root / (_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps({"live": sorted(names)}))
+    os.replace(tmp, seg_root / _MANIFEST)  # atomic visibility flip
+
+
+def register_segment(index_root, name: str) -> None:
+    """Add a finished segment dir to the live set (idempotent).  Every
+    segment-creating path must call this — the streaming sink does;
+    out-of-band writers (tests, backfills) call it after their build."""
+    _write_live(index_root, set(live_segments(index_root)) | {name})
 
 
 def start_incremental_indexing(
@@ -79,6 +130,11 @@ def start_incremental_indexing(
             num_shards=num_shards,
             num_buckets=num_buckets,
         ).build(batch_df.select("doc_id", "text"), resume=False)
+        # register-then-commit: a crash before registration means the
+        # epoch was never checkpointed, so the restart re-runs the
+        # batch (resume=False rebuild) and registers then — the
+        # manifest never references a half-built dir
+        register_segment(root, f"seg={epoch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -102,7 +158,9 @@ class SegmentedSearch:
     def __init__(self, spark: SparkSession, index_root: str) -> None:
         self.spark = spark
         root = Path(index_root)
-        seg_dirs = sorted((root / "segments").glob("seg=*"))
+        # manifest, not glob: a crashed compaction can leave extra
+        # complete-looking dirs on disk; only the live set is the truth
+        seg_dirs = [root / "segments" / n for n in live_segments(root)]
         if (root / "base" / "stats.json").exists():
             seg_dirs = [root / "base"] + seg_dirs
         self.engines: List[SearchEngine] = [
@@ -232,7 +290,9 @@ def compact(spark: SparkSession, index_root: str, out_dir: str, **kw) -> dict:
     index.  Rewrites everything — right when the segment tail rivals
     the base; for steady-state ingest prefer ``compact_tiered``."""
     root = Path(index_root)
-    parts = sorted(str(p / "forward") for p in (root / "segments").glob("seg=*"))
+    parts = [
+        str(root / "segments" / n / "forward") for n in live_segments(root)
+    ]
     if (root / "base" / "forward").exists():
         parts = [str(root / "base" / "forward")] + parts
     return _fold_forward_dirs(spark, parts, out_dir, **kw)
@@ -256,32 +316,55 @@ def compact_tiered(
     (N/avgdl/df) across base+segments at query time, so merging any
     subset of segments never changes scores (asserted in
     tests/test_streaming.py::test_tiered_compaction_rank_identical).
+
+    Crash safety (ADVICE r3, medium): the merge is built under a
+    ``.tmp-`` name the segment glob/manifest never matches, renamed to
+    its final name while still unlisted, then made visible and the
+    inputs delisted in ONE atomic manifest replace; input dirs are
+    deleted only after that flip.  A crash at any step leaves readers
+    on exactly one consistent doc universe (the manifest's) — never
+    the pre-fix double-count window between merge build and input
+    deletion, and never a partial seg= dir breaking SegmentedSearch.
+    Leftover unlisted dirs are swept at the start of the next run.
+
     Returns {"merged": [...], "remaining": int} plus the merged
     segment's build stats under "stats" (empty dict if below the
     threshold)."""
-    root = Path(index_root)
-    segs = sorted((root / "segments").glob("seg=*"))
-    if len(segs) <= max_segments:
-        return {"merged": [], "remaining": len(segs)}
-
-    def n_docs(p: Path) -> int:
-        return json.loads((p / "stats.json").read_text())["n_docs"]
-
-    by_size = sorted(segs, key=lambda p: (n_docs(p), p.name))
-    tier = by_size[: len(segs) - max_segments + 1]
-    merged_name = "seg=" + "+".join(
-        sorted(p.name.split("=", 1)[1] for p in tier)
-    )
-    out_seg = root / "segments" / merged_name
-    stats = _fold_forward_dirs(
-        spark, [str(p / "forward") for p in tier], str(out_seg), **kw
-    )
     import shutil
 
-    for p in tier:
-        shutil.rmtree(p)
+    root = Path(index_root)
+    seg_root = _seg_root(root)
+    live = live_segments(root)
+    _write_live(root, live)  # adopt pre-manifest layouts
+    # sweep garbage from crashed runs: anything on disk but not live
+    for p in seg_root.iterdir():
+        if p.is_dir() and p.name not in live:
+            shutil.rmtree(p)
+    if len(live) <= max_segments:
+        return {"merged": [], "remaining": len(live)}
+
+    def n_docs(name: str) -> int:
+        return json.loads(
+            (seg_root / name / "stats.json").read_text()
+        )["n_docs"]
+
+    by_size = sorted(live, key=lambda n: (n_docs(n), n))
+    tier = by_size[: len(live) - max_segments + 1]
+    merged_name = "seg=" + "+".join(
+        sorted(n.split("=", 1)[1] for n in tier)
+    )
+    tmp = seg_root / (".tmp-" + merged_name.split("=", 1)[1])
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    stats = _fold_forward_dirs(
+        spark, [str(seg_root / n / "forward") for n in tier], str(tmp), **kw
+    )
+    os.replace(tmp, seg_root / merged_name)  # complete, still unlisted
+    _write_live(root, (set(live) - set(tier)) | {merged_name})  # flip
+    for n in tier:  # now-unlisted inputs; crash here → swept next run
+        shutil.rmtree(seg_root / n)
     return {
-        "merged": [p.name for p in tier],
-        "remaining": len(list((root / "segments").glob("seg=*"))),
+        "merged": list(tier),
+        "remaining": len(live_segments(root)),
         "stats": stats,
     }

@@ -132,31 +132,101 @@ def _sessionize_group(
         yield emit(out)
 
 
+_BUF_STATE_SCHEMA = "buf array<long>"
+
+
+def _sessionize_group_buffered(
+    key: Tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Out-of-order-safe kernel (r3 VERDICT #6): buffer event times in
+    state and close a session only once the event-time watermark has
+    passed its end + gap — at that point no acceptable future event
+    (all have ts ≥ watermark) can extend or merge it, so the emitted
+    sessions equal the batch fold REGARDLESS of arrival order.  State
+    is O(events within the gap/watermark horizon) per user instead of
+    one triple — the documented price of disorder tolerance."""
+    user_id = int(key[0])
+    gap_ns = SESSION_GAP_SECONDS * 1_000_000_000
+
+    def emit(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "session_start": [pd.Timestamp(s) for s, _, _ in rows],
+                "session_end": [pd.Timestamp(e) for _, e, _ in rows],
+                "n_events": [int(c) for _, _, c in rows],
+            }
+        )
+
+    buf = list(state.get[0]) if state.exists else []
+    for pdf in pdfs:  # empty iterator on a pure timeout invocation
+        buf.extend(int(t) for t in pdf["ts"].astype("int64"))
+    buf.sort()
+    if not buf:
+        if state.exists:
+            state.remove()
+        return
+
+    wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+    sessions = []  # (start, last, n) over the full buffer
+    start = last = buf[0]
+    n = 0
+    for t in buf:
+        if t - last > gap_ns:
+            sessions.append((start, last, n))
+            start, n = t, 0
+        last = t
+        n += 1
+    sessions.append((start, last, n))
+
+    closed = [s for s in sessions if s[1] + gap_ns < wm_ns]
+    keep_from = sum(s[2] for s in closed)  # buf is sorted: prefix drop
+    remaining = buf[keep_from:]
+    if remaining:
+        state.update((remaining,))
+        # wake when the watermark passes the last event's gap horizon
+        # (+1ms: the timestamp must exceed the current watermark)
+        state.setTimeoutTimestamp(
+            remaining[-1] // 1_000_000 + SESSION_GAP_SECONDS * 1000 + 1
+        )
+    elif state.exists:
+        state.remove()
+    if closed:
+        yield emit(closed)
+
+
 def sessionize_stream(
-    events: DataFrame, watermark: str = "2 hours"
+    events: DataFrame, watermark: str = "2 hours", ordered: bool = True
 ) -> DataFrame:
     """Streaming per-user sessionization via applyInPandasWithState.
 
-    Emits CLOSED sessions (gap-closed in-batch, or watermark-timed-out
-    between batches).  State per user is one (start, last, n) row.
+    Emits CLOSED sessions.  Two kernels:
 
-    In-order-ingest assumption (ADVICE r2): events are folded into the
-    OPEN session as they arrive, so a cross-batch late event (within
-    the watermark but older than an already-closed in-batch gap) can
-    merge into the wrong session vs the batch fold.  Inputs delivered
-    in event-time order per user (the fixture pins file mtimes for
-    exactly this) match the batch oracle exactly; for disordered
-    feeds, buffer events in state until the watermark passes before
-    closing — at the cost of O(events-in-gap-window) state per user
-    instead of one triple."""
+    * ``ordered=True`` (default): state per user is ONE (start, last,
+      n) triple; sessions close on an in-batch gap or a watermark
+      timeout.  In-order-ingest assumption (ADVICE r2): events fold
+      into the open session as they arrive, so a cross-batch late
+      event (inside the watermark but older than an already-closed
+      gap) can land in the wrong session vs the batch fold.  Right
+      for per-user-ordered feeds (e.g. Kafka keyed by user).
+    * ``ordered=False``: watermark-buffered close — events are held in
+      state until the watermark passes their session's gap horizon,
+      so emissions match the batch fold under ANY arrival order, at
+      O(events in the watermark horizon) state per user
+      (tests/test_streaming_windows.py drives it with shuffled file
+      order against the batch oracle)."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    kernel = _sessionize_group if ordered else _sessionize_group_buffered
+    schema = _STATE_SCHEMA if ordered else _BUF_STATE_SCHEMA
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            kernel,
             outputStructType=SESSION_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
+            stateStructType=schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

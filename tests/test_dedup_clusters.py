@@ -86,3 +86,41 @@ def test_driver_and_distributed_regimes_agree(spark):
         map(tuple, D.dup_clusters(pairs, driver_threshold=0).collect())
     )
     assert drv == dist
+
+
+def test_driver_regime_1m_pairs_arrow_fast(spark):
+    """r3 VERDICT #3: the driver regime moves pairs via Arrow
+    (toPandas) and solves components vectorized (root-hooking +
+    pointer jumping) — 1M pairs in seconds, where py4j Row collection
+    plus a per-pair Python union-find loop took minutes at the 5M
+    threshold."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    # realistic near-dup shape: 250k clusters of 5 mutually-near docs,
+    # star edges hub→spokes → exactly 1M pairs
+    hub = np.repeat(np.arange(250_000, dtype=np.int64) * 16, 4)
+    spoke = hub + np.tile(np.arange(1, 5, dtype=np.int64), 250_000)
+
+    t0 = time.time()
+    nodes, inv = np.unique(np.concatenate([hub, spoke]), return_inverse=True)
+    roots = D._components_numpy(
+        inv[: len(hub)], inv[len(hub):], len(nodes)
+    )
+    solve_sec = time.time() - t0
+    # every spoke labels to its hub (hub is the component min)
+    want = np.repeat(np.arange(250_000, dtype=np.int64) * 16, 5)
+    assert np.array_equal(np.sort(nodes[roots]), np.sort(want))
+    assert solve_sec < 10, solve_sec  # sub-second on a calm box
+
+    # end-to-end through Spark (Arrow transfer + result createDataFrame)
+    pairs = spark.createDataFrame(pd.DataFrame({"doc_a": hub, "doc_b": spoke}))
+    t0 = time.time()
+    n_losers = (
+        D.dup_clusters(pairs).where("doc_id != cluster_id").count()
+    )
+    e2e_sec = time.time() - t0
+    assert n_losers == 1_000_000
+    assert e2e_sec < 90, e2e_sec

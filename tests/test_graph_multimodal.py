@@ -66,9 +66,29 @@ def test_image_features_schema_and_determinism(spark):
     assert by_id == again
 
 
+@pytest.mark.skipif(
+    M._REAL_IMAGE_CODEC is not None, reason="a real image codec is installed"
+)
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"not-a-real-png")
+
+
+@pytest.mark.skipif(
+    M._REAL_IMAGE_CODEC is None, reason="no image codec in this environment"
+)
+def test_decode_real_codec_roundtrip():
+    """With Pillow/imageio installed, fake=False decodes real bytes
+    (feature-detected path, r3 VERDICT #5)."""
+    import io
+
+    from PIL import Image
+
+    want = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    buf = io.BytesIO()
+    Image.fromarray(want, "RGB").save(buf, format="PNG")
+    got = M.decode_image(buf.getvalue())
+    assert got.shape == (4, 3, 3) and np.array_equal(got, want)
 
 
 def test_frame_sample(spark):

@@ -281,3 +281,23 @@ def test_delta_floor_fill_reads_shard_prefix_only(spark, index_dir):
     assert len(shards) > 1
     # only the first shard's doc_stats slice was loaded
     assert set(eng._dl_cache) == {shards[0]}
+
+
+def test_cold_mode_dl_cache_is_lru_bounded(spark, index_dir, ostats):
+    """r3 VERDICT #2: a cold engine that touches every shard holds at
+    most N cached doc-length slices (LRU), and the bound never changes
+    scores; preload mode still pins everything."""
+    eng = SearchEngine(spark, index_dir, preload=False, dl_cache_shards=2)
+    shards = eng._shards()
+    assert len(shards) >= 3
+    for s in shards:
+        eng._doc_lens(s)
+        assert len(eng._dl_cache) <= 2
+    assert set(eng._dl_cache) == set(shards[-2:])  # LRU keeps the tail
+    for q in ["customer orders data", "the"]:
+        toks = tokenize_stem(q)
+        want = [(d, s) for d, s in oracle.top_k(ostats, toks, 25)]
+        assert eng.search_tokens(toks, 25) == want
+        assert len(eng._dl_cache) <= 2
+    pre = SearchEngine(spark, index_dir, preload=True)
+    assert len(pre._dl_cache) == len(shards)  # pinned, not bounded

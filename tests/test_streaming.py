@@ -111,6 +111,8 @@ def test_tiered_compaction_rank_identical(spark, streamed):
         num_shards=2,
         num_buckets=4,
     ).build(extra, resume=False)
+    # out-of-band segment writers must register (manifest is authority)
+    I.register_segment(index_root, "seg=900")
 
     seg_before = I.SegmentedSearch(spark, index_root)
     want = {q: seg_before.search(q, 15) for q in QUERIES}
@@ -132,3 +134,34 @@ def test_tiered_compaction_rank_identical(spark, streamed):
     # below threshold → no-op
     noop = I.compact_tiered(spark, index_root, max_segments=2)
     assert noop["merged"] == [] and noop["remaining"] == 2
+
+
+def test_compaction_crash_states_are_invisible(spark, streamed):
+    """Crash-safety (ADVICE r3): dirs left by an interrupted compaction
+    — a half-built .tmp- merge, or a complete merged dir renamed into
+    place but not yet flipped live in the manifest — are invisible to
+    SegmentedSearch and swept by the next compaction run."""
+    import shutil
+
+    _, index_root, _ = streamed
+    root = Path(index_root)
+    live = I.live_segments(root)
+    n_before = I.SegmentedSearch(spark, index_root).n_docs
+
+    # crash mid-build: partial .tmp- dir
+    tmp = root / "segments" / ".tmp-crashed"
+    tmp.mkdir()
+    (tmp / "stats.json").write_text("{}")
+    # crash between rename and manifest flip: complete-looking merged
+    # dir (a live segment's clone under a merged name) — the pre-fix
+    # double-count window
+    clone = root / "segments" / "seg=888+999"
+    shutil.copytree(root / "segments" / live[0], clone)
+
+    assert I.live_segments(root) == live  # manifest is the authority
+    assert I.SegmentedSearch(spark, index_root).n_docs == n_before
+
+    out = I.compact_tiered(spark, index_root, max_segments=len(live))
+    assert out["merged"] == []  # below threshold — but garbage swept
+    assert not tmp.exists() and not clone.exists()
+    assert I.SegmentedSearch(spark, index_root).n_docs == n_before

@@ -141,6 +141,86 @@ def _true_sessions(spark, base: Path):
     return sessions, open_sessions
 
 
+@pytest.fixture(scope="module")
+def shuffled_stream_dir(spark, tmp_path_factory):
+    """Micro-batch files arrive OUT of event-time order (adjacent range
+    slices swapped: 1,0,3,2,5,4 — every file up to one ~5-day slice
+    late) plus two far-future flush files for a sentinel user that
+    advance the watermark past every real session so the buffered
+    kernel's timeouts drain all state before the stream ends."""
+    import os
+    import time
+
+    base = tmp_path_factory.mktemp("evshuffled")
+    ev = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .where(F.col("user_id") < 20)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    ev.repartitionByRange(6, "ts").write.mode("overwrite").parquet(
+        str(base / "events")
+    )
+    parts = sorted((base / "events").glob("part-*.parquet"))
+    order = list(range(len(parts)))
+    for i in range(0, len(order) - 1, 2):  # swap adjacent slices
+        order[i], order[i + 1] = order[i + 1], order[i]
+    now = time.time()
+    for rank, idx in enumerate(order):
+        os.utime(parts[idx], (now + rank, now + rank))
+    flush_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for j, days in enumerate((60, 61)):
+        before = set((base / "events").glob("part-*.parquet"))
+        f = spark.createDataFrame(
+            [(99_000_000 + j, flush_ts + __import__("datetime").timedelta(days=days), 9999, "flush", 0.0)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        f.coalesce(1).write.mode("append").parquet(str(base / "events"))
+        # identify the new part by set-diff (max-mtime would pick the
+        # previous flush file, whose mtime is already pinned ahead)
+        [newest] = set((base / "events").glob("part-*.parquet")) - before
+        os.utime(newest, (now + 100 + j, now + 100 + j))
+    return base
+
+
+def test_buffered_sessionizer_exact_under_shuffled_arrival(
+    spark, shuffled_stream_dir
+):
+    """ordered=False: with files delivered out of event-time order the
+    emitted sessions still equal the batch fold EXACTLY (r3 VERDICT
+    #6 — the ordered kernel's in-order assumption removed)."""
+    static = spark.read.parquet(str(shuffled_stream_dir / "events"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(shuffled_stream_dir / "events"))
+    )
+    sess = W.sessionize_stream(stream, watermark="15 days", ordered=False)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {}
+    for r in spark.sql(
+        "SELECT * FROM sessions_ooo WHERE user_id < 20"
+    ).collect():
+        got.setdefault(int(r["user_id"]), []).append(
+            (r["session_start"], r["session_end"], int(r["n_events"]))
+        )
+    closed, open_sessions = _true_sessions(spark, shuffled_stream_dir)
+    n_closed = sum(len(v) for v in closed.values())
+    assert n_closed > 20
+    # the flush batches drove the watermark past every real session, so
+    # emissions are COMPLETE: closed sessions plus the final open one
+    real_users = {u for u in set(closed) | set(open_sessions) if u < 20}
+    for u in real_users:
+        want = sorted(closed.get(u, []) + [open_sessions[u]])
+        assert sorted(got.get(u, [])) == want, f"user {u}"
+
+
 def test_stateful_sessionizer_matches_batch_fold(spark, event_stream_dir):
     sess = W.sessionize_stream(_read_stream(spark, event_stream_dir))
     q = (
