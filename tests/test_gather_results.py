@@ -35,3 +35,45 @@ def test_gather_results_engines_agree(spark, tmp_path):
     dumped = [json.loads(s) for s in out.read_text().splitlines()]
     assert len(dumped) == len(lines)
     assert dumped[0]["engine"] == ENGINES[0]
+
+
+def test_analyze_rankings_metrics():
+    """Pure-function metrics: identical rankings score perfect;
+    disjoint rankings score zero overlap; a reversal flips tau."""
+    from jobs.analyze_rankings import analyze, kendall_tau, rbo
+
+    assert kendall_tau([1, 2, 3], [1, 2, 3]) == 1.0
+    assert kendall_tau([1, 2, 3], [3, 2, 1]) == -1.0
+    assert rbo([1, 2, 3], [1, 2, 3]) == 1.0
+    assert rbo([1, 2], [3, 4]) == 0.0
+
+    lines = [
+        {"query": "q", "engine": "wand", "results": [{"doc_id": d} for d in (1, 2, 3)]},
+        {"query": "q", "engine": "df", "results": [{"doc_id": d} for d in (1, 2, 3)]},
+        {"query": "q", "engine": "rev", "results": [{"doc_id": d} for d in (3, 2, 1)]},
+    ]
+    out = analyze(lines, baseline="wand")
+    assert out["pairs"]["wand-vs-df"] == {
+        "exact": 1.0, "overlap": 1.0, "tau": 1.0, "rbo": 1.0
+    }
+    rev = out["pairs"]["wand-vs-rev"]
+    assert rev["exact"] == 0.0 and rev["overlap"] == 1.0 and rev["tau"] == -1.0
+    assert 0 < rev["rbo"] < 1
+
+
+def test_analyze_rankings_on_real_dump(spark, tmp_path):
+    """End-to-end: engines in this repo agree perfectly, so every
+    agreement metric is 1.0 against the WAND baseline."""
+    from jobs.analyze_rankings import analyze
+
+    lines = run(
+        SF_SMOKE,
+        DEFAULT_QUERIES[:2],
+        5,
+        ["wand", "blockmax", "distributed"],
+        None,
+        str(tmp_path / "wd2"),
+    )
+    out = analyze(lines, baseline="wand")
+    for pair, m in out["pairs"].items():
+        assert m == {"exact": 1.0, "overlap": 1.0, "tau": 1.0, "rbo": 1.0}, pair

@@ -127,3 +127,32 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
     eng = SearchEngine(spark, str(tmp_path / "pidx"), preload=True)
     hits = eng.search("customer orders data", 10)
     assert hits and eng.n_docs == c["after_sampling"]
+
+
+def test_pipeline_demo_default_skips_quality_stage(spark, tmp_path):
+    """ADVICE r4: with the default quality_k (covers every doc) the
+    corpus-wide per-language window+join must not run at all."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import lean_explore_spark.operators.textstats as T
+    from pipeline_demo import run_pipeline
+
+    from tests.conftest import SF_SMOKE
+
+    def _boom(*a, **k):
+        raise AssertionError("quality stage should have been skipped")
+
+    orig = T.quality_topk_per_group
+    T.quality_topk_per_group = _boom
+    try:
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = run_pipeline(
+            spark, docs, str(tmp_path / "pidx_noq"),
+            num_shards=2, num_buckets=4,
+        )
+    finally:
+        T.quality_topk_per_group = orig
+    c = out["counts"]
+    assert c["after_quality"] == c["input"]
+    assert out["index"]["n_docs"] == c["after_sampling"] > 0
