@@ -246,6 +246,49 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_SCHEMES = ["http", "HTTPS", "https", "HTTP"]
+_URL_HOSTS = ["Example.COM", "site.org", "a.Net:8080", "b.io:443", "c.io:80"]
+_URL_PATHS = ["/a", "/a/", "/A/b", "", "/p//"]
+_URL_QUERIES = ["", "?b=2&a=1", "?utm_source=x&b=2", "?fbclid=abc",
+                "?z=Z&utm_x=1&a=1"]
+_URL_FRAGS = ["", "#frag"]
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-payload URL canonicalization (operators/webnorm.py) in the
+    hash gate: raw URLs are synthesized per doc_id from spelling-
+    variant components (case, default/non-default ports, trailing
+    slashes, tracking params, fragments — all 7 documented rules
+    exercised), identically in both engines; the oracle reimplements
+    the rules in DuckDB list/regexp SQL."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import webnorm as WN
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def pick(options, expr):
+        return F.element_at(
+            F.array(*[F.lit(o) for o in options]),
+            F.expr(f"cast(({expr}) % {len(options)} + 1 as int)"),
+        )
+
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            pick(_URL_SCHEMES, "doc_id"),
+            F.lit("://"),
+            pick(_URL_HOSTS, "doc_id div 4"),
+            pick(_URL_PATHS, "doc_id div 20"),
+            pick(_URL_QUERIES, "doc_id div 100"),
+            pick(_URL_FRAGS, "doc_id div 500"),
+        ).alias("url"),
+    )
+    return raw.select(
+        "doc_id", WN.canonical_url(F.col("url")).alias("canonical_url")
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-term sketch per lang (operators/sketch.py) — the
     'novel sketch' custom op, exactly mirrored in DuckDB."""
@@ -438,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": R.event_sessionization,
         # north-rule skew defuse (salted two-stage aggregation)
         "salted_count": q_salted_count,
+        # web-payload URL canonicalization (webnorm.canonical_url)
+        "url_canonical": q_url_canonical,
         # unified batch/stream windowed event-time aggregation
         "windowed_counts": q_windowed_counts,
         # as-of join (point-in-time lookup; union+window composition)
@@ -1500,6 +1545,66 @@ WHERE d.doc_id % 5 = 0
 """
 
 
+# webnorm.canonical_url's 7 rules re-expressed in DuckDB list/regexp
+# SQL over the SAME synthesized raw urls (component lists shared with
+# q_url_canonical via the module constants)
+def _url_list_sql(options: list[str]) -> str:
+    return "[" + ",".join(f"'{o}'" for o in options) + "]"
+
+
+_URL_CANONICAL_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+    list_extract({_url_list_sql(_URL_SCHEMES)}, CAST(doc_id % 4 + 1 AS BIGINT))
+    || '://' ||
+    list_extract({_url_list_sql(_URL_HOSTS)}, CAST((doc_id // 4) % 5 + 1 AS BIGINT))
+    || list_extract({_url_list_sql(_URL_PATHS)}, CAST((doc_id // 20) % 5 + 1 AS BIGINT))
+    || list_extract({_url_list_sql(_URL_QUERIES)}, CAST((doc_id // 100) % 5 + 1 AS BIGINT))
+    || list_extract({_url_list_sql(_URL_FRAGS)}, CAST((doc_id // 500) % 2 + 1 AS BIGINT))
+    AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+  FROM s1
+),
+auth0 AS (
+  SELECT *, lower(regexp_extract(after, '^([^/?]*)', 1)) AS auth1,
+         regexp_replace(after, '^[^/?]*', '') AS rest
+  FROM parts
+),
+auth AS (
+  SELECT *, CASE WHEN scheme = 'http'  THEN regexp_replace(auth1, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+                 ELSE auth1 END AS a
+  FROM auth0
+),
+pq AS (
+  SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         CASE WHEN contains(rest, '?')
+              THEN regexp_replace(rest, '^[^?]*\\?', '') END AS query
+  FROM auth
+),
+par AS (
+  SELECT *, CASE WHEN query IS NOT NULL THEN
+    list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT starts_with(lower(p), 'utm_')
+        AND NOT regexp_matches(lower(p), '^(fbclid|gclid)='))) END AS ps
+  FROM pq
+)
+SELECT doc_id,
+  scheme || '://' || a ||
+  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+       ELSE regexp_replace(path0, '/+$', '') END ||
+  CASE WHEN ps IS NOT NULL AND len(ps) > 0
+       THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical_url
+FROM par
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokens_tf": f"WITH {_TOK} SELECT term, doc_id, tf FROM tf",
@@ -1545,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_count": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),
+        "url_canonical": _URL_CANONICAL_SQL,
         "windowed_counts": """
 SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS win_start_us,
        epoch_us(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE)
