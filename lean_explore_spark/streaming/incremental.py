@@ -61,11 +61,16 @@ def _seg_root(index_root) -> Path:
 
 
 def _complete_segment_dirs(seg_root: Path) -> List[str]:
-    """seg=* dirs whose build finished (pack manifest present)."""
+    """seg=* dirs whose build finished.  The dictionary is the LAST
+    stage the builder writes, so its presence is the completeness
+    marker (stats.json/manifest exist mid-build and would pass a
+    weaker check)."""
     return sorted(
         p.name
         for p in seg_root.glob("seg=*")
-        if (p / "stats.json").exists() and (p / "manifest").exists()
+        if (p / "stats.json").exists()
+        and (p / "manifest").exists()
+        and (p / "dictionary").exists()
     )
 
 
@@ -155,7 +160,9 @@ class SegmentedSearch:
     I/O optimization, not a correctness event.
     """
 
-    def __init__(self, spark: SparkSession, index_root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, index_root: str, preload: bool = True
+    ) -> None:
         self.spark = spark
         root = Path(index_root)
         # manifest, not glob: a crashed compaction can leave extra
@@ -163,8 +170,10 @@ class SegmentedSearch:
         seg_dirs = [root / "segments" / n for n in live_segments(root)]
         if (root / "base" / "stats.json").exists():
             seg_dirs = [root / "base"] + seg_dirs
+        # preload=False → per-segment cold engines (pruned Spark reads,
+        # LRU-bounded doc-length caches) for bases too big to pin
         self.engines: List[SearchEngine] = [
-            SearchEngine(spark, str(d), preload=True) for d in seg_dirs
+            SearchEngine(spark, str(d), preload=preload) for d in seg_dirs
         ]
         if not self.engines:
             raise ValueError(f"no segments under {index_root}")
@@ -336,10 +345,26 @@ def compact_tiered(
     seg_root = _seg_root(root)
     live = live_segments(root)
     _write_live(root, live)  # adopt pre-manifest layouts
-    # sweep garbage from crashed runs: anything on disk but not live
+    # sweep crash garbage — but ONLY dirs compaction provably owns,
+    # so a streaming sink building a new epoch segment CONCURRENTLY
+    # is never collateral: (a) .tmp-* working dirs, (b) unlisted
+    # merged-form names ('+' only ever appears in compaction output),
+    # (c) unlisted plain segments that are a '+'-component of a LIVE
+    # merged name (inputs whose post-swap rmtree crashed).  Unlisted
+    # plain dirs with no such proof are left untouched (unregistered
+    # out-of-band builds or an in-flight sink epoch).
+    merged_components = {
+        c for n in live if "+" in n for c in n.split("=", 1)[1].split("+")
+    }
     for p in seg_root.iterdir():
-        if p.is_dir() and p.name not in live:
+        if not p.is_dir() or p.name in live:
+            continue
+        if p.name.startswith(".tmp-"):
             shutil.rmtree(p)
+        elif p.name.startswith("seg="):
+            suffix = p.name.split("=", 1)[1]
+            if "+" in suffix or suffix in merged_components:
+                shutil.rmtree(p)
     if len(live) <= max_segments:
         return {"merged": [], "remaining": len(live)}
 

@@ -59,11 +59,13 @@ def test_segmented_search_rank_identical_to_monolithic(spark, streamed, tmp_path
     stats = oracle.build_stats(
         [r["doc_id"] for r in rows], (tokenize_stem(r["text"]) for r in rows)
     )
+    cold = I.SegmentedSearch(spark, index_root, preload=False)
     for q in QUERIES:
         toks = tokenize_stem(q)
         want = [(d, s) for d, s in oracle.top_k(stats, toks, 15)]
         assert mono.search_tokens(toks, 15) == want, f"mono {q!r}"
         assert seg.search(q, 15) == want, f"segmented {q!r}"
+        assert cold.search(q, 15) == want, f"segmented cold {q!r}"
 
 
 def test_compaction_preserves_results(spark, streamed, tmp_path):
@@ -157,6 +159,11 @@ def test_compaction_crash_states_are_invisible(spark, streamed):
     # double-count window
     clone = root / "segments" / "seg=888+999"
     shutil.copytree(root / "segments" / live[0], clone)
+    # an unlisted PLAIN segment (e.g. a sink epoch mid-build or an
+    # unregistered out-of-band build): invisible but NOT swept —
+    # compaction can't prove it owns it
+    bystander = root / "segments" / "seg=777"
+    shutil.copytree(root / "segments" / live[0], bystander)
 
     assert I.live_segments(root) == live  # manifest is the authority
     assert I.SegmentedSearch(spark, index_root).n_docs == n_before
@@ -164,4 +171,6 @@ def test_compaction_crash_states_are_invisible(spark, streamed):
     out = I.compact_tiered(spark, index_root, max_segments=len(live))
     assert out["merged"] == []  # below threshold — but garbage swept
     assert not tmp.exists() and not clone.exists()
+    assert bystander.exists()  # left for its writer to register
     assert I.SegmentedSearch(spark, index_root).n_docs == n_before
+    shutil.rmtree(bystander)
