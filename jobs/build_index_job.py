@@ -35,6 +35,13 @@ def main(argv=None) -> dict:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--wave-size",
+        type=int,
+        default=None,
+        help="shards packed+committed per Spark job (finer-grained "
+        "resume checkpoints; default = all pending in one job)",
+    )
     args = ap.parse_args(argv)
 
     master = f"local[{args.cpus}]" if args.cpus else None
@@ -60,7 +67,7 @@ def main(argv=None) -> dict:
         stem=not args.no_stem,
         num_shards=args.shards,
         num_buckets=args.buckets,
-    ).build(docs, resume=args.resume)
+    ).build(docs, resume=args.resume, wave_size=args.wave_size)
     wall = time.time() - t0
 
     manifest = spark.read.parquet(f"{args.output}/manifest")
