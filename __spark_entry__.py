@@ -289,6 +289,26 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 (topological traversal) in the hash gate: a deterministic
+    DAG over documents (edge doc_id → doc_id div 2 when the parent id
+    exists — the implicit heap tree), levelled by graph.
+    topological_levels (Kahn frontier peeling; level = longest-path
+    depth from any source).  Oracle: WITH RECURSIVE longest-path from
+    the sources — different algorithm, same levels."""
+    import pyspark.sql.functions as F
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e = d.select(
+        F.col("doc_id").alias("src"),
+        F.expr("doc_id div 2").alias("dst"),  # integer div: 2^62-safe
+    ).where("src > 0")
+    e = e.join(d.withColumnRenamed("doc_id", "dst"), "dst", "left_semi")
+    return G.topological_levels(e).select(
+        "node", F.col("level").cast("long").alias("level")
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-term sketch per lang (operators/sketch.py) — the
     'novel sketch' custom op, exactly mirrored in DuckDB."""
@@ -499,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_docs": q_stale_docs,
         # iterative graph (fixed 20 iterations → unrolled-CTE oracle)
         "pagerank_supplier_part": G.supplier_part_pagerank,
+        # G2 topological traversal (Kahn peeling vs recursive oracle)
+        "topo_levels": q_topo_levels,
         # multimodal — ensure_py_files: these don't route through
         # _docs, but their mapInPandas closures still import the
         # package on executors
@@ -1651,6 +1673,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),
         "url_canonical": _URL_CANONICAL_SQL,
+        "topo_levels": """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+  WHERE doc_id > 0 AND (doc_id // 2) IN (SELECT doc_id FROM documents)
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+paths AS (
+  SELECT node, 0 AS level FROM nodes
+  WHERE node NOT IN (SELECT dst FROM e)
+  UNION ALL
+  SELECT e.dst AS node, p.level + 1 AS level
+  FROM paths p JOIN e ON e.src = p.node
+)
+SELECT node, CAST(max(level) AS BIGINT) AS level FROM paths GROUP BY node
+""",
         "windowed_counts": """
 SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS win_start_us,
        epoch_us(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE)

@@ -214,15 +214,75 @@ def scaled_pagerank(ranks: DataFrame) -> DataFrame:
     )
 
 
-def topological_levels(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
-    """Kahn's algorithm as iterative frontier joins (reference G2,
-    scripts/lean_to_english.py:272-371: topological processing order
-    with cycle fallback).
+def topological_levels(
+    edges: DataFrame,
+    max_iter: int = 10_000,
+    driver_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Kahn's algorithm (reference G2, scripts/lean_to_english.py:
+    272-371: topological processing order with cycle fallback).
 
     Returns (node, level): level = longest-path depth from any source.
     Nodes left after ``max_iter`` or stuck in cycles get level -1 (the
     reference's cycle fallback processes them last).
+
+    Two regimes (same split as pagerank / dedup.dup_clusters, r3/r4
+    lesson: per-round Spark-job scheduling dominates on small graphs —
+    the frontier-join loop measured 19.8 s on a 5k-node tree where the
+    driver Kahn runs in milliseconds):
+
+    * edge set fits the driver (≤ ``driver_threshold``): ONE Arrow
+      transfer + an O(V+E) Kahn pass, exact and deterministic.
+    * larger: the distributed frontier-join loop — one left-anti per
+      round, eager localCheckpoints for constant-size plans,
+      O(longest path) rounds.
     """
+    spark = edges.sparkSession
+    probe = (
+        edges.select("src", "dst")
+        .distinct()
+        .limit(driver_threshold + 1)
+        .toPandas()
+    )
+    if len(probe) <= driver_threshold:
+        import numpy as np
+        import pandas as pd
+
+        if probe.empty:
+            return spark.createDataFrame([], "node long, level int")
+        a = probe["src"].to_numpy(dtype=np.int64)
+        b = probe["dst"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a):]
+        n = len(nodes)
+        indeg = np.bincount(ib, minlength=n)
+        order = np.argsort(ia, kind="stable")
+        ib_s = ib[order].tolist()
+        starts = np.searchsorted(ia[order], np.arange(n + 1)).tolist()
+        level = [0] * n
+        indeg_l = indeg.tolist()
+        queue = [i for i in range(n) if indeg_l[i] == 0]
+        qi = 0
+        while qi < len(queue):
+            u = queue[qi]
+            qi += 1
+            lu1 = level[u] + 1
+            for k in range(starts[u], starts[u + 1]):
+                v = ib_s[k]
+                if lu1 > level[v]:
+                    level[v] = lu1
+                indeg_l[v] -= 1
+                if indeg_l[v] == 0:
+                    queue.append(v)
+        # cycle fallback: nodes never reaching indegree 0
+        for i in range(n):
+            if indeg_l[i] > 0:
+                level[i] = -1
+        out = pd.DataFrame(
+            {"node": nodes, "level": np.array(level, dtype=np.int32)}
+        )
+        return spark.createDataFrame(out, "node long, level int")
+
     edges = edges.select("src", "dst").distinct().cache()
     nodes = (
         edges.select(F.col("src").alias("node"))

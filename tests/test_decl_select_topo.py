@@ -89,3 +89,22 @@ def test_topological_levels(spark):
     assert got[4] == 2
     assert got[5] == 3
     assert got[10] == -1 and got[11] == -1  # cycle fallback
+
+
+def test_topo_driver_and_distributed_regimes_agree(spark):
+    """The r4 driver Kahn (Arrow + O(V+E) pass) and the distributed
+    frontier-join loop produce identical levels, cycle fallback
+    included."""
+    import random
+
+    from lean_explore_spark.operators import graph as G
+
+    rnd = random.Random(23)
+    edges = list({(rnd.randrange(80), rnd.randrange(80)) for _ in range(160)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv = sorted(map(tuple, G.topological_levels(df).collect()))
+    dist = sorted(
+        map(tuple, G.topological_levels(df, driver_threshold=0).collect())
+    )
+    assert drv == dist
+    assert any(lvl == -1 for _, lvl in drv)  # fixture has cycles
