@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from contextlib import contextmanager
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -50,14 +52,46 @@ from lean_explore_spark.query.search import SearchEngine, _row_to_packed
 # visibility flips in one step: a crash at ANY point of a compaction
 # leaves readers on a consistent doc universe (either all inputs, or
 # the merged segment) — never duplicates, never a partial dir.
-# Non-live dirs are garbage from a crashed run; compaction sweeps them.
-# Single-writer (one driver) by design, like the index builder.
+# Non-live dirs are garbage from a crashed run; compaction sweeps only
+# dirs it can PROVE it owns: its own .tmp- workdirs, '+'-form merged
+# names (only compaction ever writes those), and the manifest's
+# explicit ``sweep`` list — merge inputs already delisted whose
+# deletion may have crashed (ADVICE r4 low: inferring ownership from
+# '+'-components broke if a checkpoint reset reused epoch ids).
+#
+# All manifest read-modify-writes run under ``_manifest_lock`` (ADVICE
+# r4 medium: the streaming sink registers epochs from a foreachBatch
+# callback THREAD of the same driver while a long compaction merge
+# builds; without the lock + a flip-time re-read, the flip overwrote
+# concurrent registrations — permanent segment invisibility).  The
+# lock is a process-local mutex plus an fcntl flock on the segments
+# dir, covering threads of one driver and multiple driver processes on
+# one host.  Multi-host drivers against an object store have no shared
+# flock — there, run compaction only while the stream is quiescent
+# (single-writer-host design, same as the index builder).
 
 _MANIFEST = "MANIFEST.json"
+_MANIFEST_LOCKFILE = ".manifest.lock"
+_manifest_mutex = threading.Lock()
 
 
 def _seg_root(index_root) -> Path:
     return Path(index_root) / "segments"
+
+
+@contextmanager
+def _manifest_lock(index_root):
+    seg_root = _seg_root(index_root)
+    seg_root.mkdir(parents=True, exist_ok=True)
+    with _manifest_mutex:
+        with open(seg_root / _MANIFEST_LOCKFILE, "a+") as fh:
+            try:
+                import fcntl
+
+                fcntl.flock(fh, fcntl.LOCK_EX)
+            except Exception:
+                pass  # non-POSIX FS: thread mutex still covers one driver
+            yield  # closing fh releases the flock
 
 
 def _complete_segment_dirs(seg_root: Path) -> List[str]:
@@ -74,21 +108,30 @@ def _complete_segment_dirs(seg_root: Path) -> List[str]:
     )
 
 
-def live_segments(index_root) -> List[str]:
-    """Live segment dir names: manifest if present, else the complete
-    dirs on disk (pre-manifest layouts keep working)."""
+def _manifest_state(index_root) -> dict:
+    """{"live": [...], "sweep": [...]} — manifest if present, else the
+    complete dirs on disk (pre-manifest layouts keep working)."""
     seg_root = _seg_root(index_root)
     p = seg_root / _MANIFEST
     if p.exists():
-        return sorted(json.loads(p.read_text())["live"])
-    return _complete_segment_dirs(seg_root)
+        d = json.loads(p.read_text())
+        return {
+            "live": sorted(d.get("live", [])),
+            "sweep": sorted(d.get("sweep", [])),
+        }
+    return {"live": _complete_segment_dirs(seg_root), "sweep": []}
 
 
-def _write_live(index_root, names) -> None:
+def live_segments(index_root) -> List[str]:
+    """Live segment dir names (the reader-visibility authority)."""
+    return _manifest_state(index_root)["live"]
+
+
+def _write_state(index_root, live, sweep=()) -> None:
     seg_root = _seg_root(index_root)
     seg_root.mkdir(parents=True, exist_ok=True)
     tmp = seg_root / (_MANIFEST + ".tmp")
-    tmp.write_text(json.dumps({"live": sorted(names)}))
+    tmp.write_text(json.dumps({"live": sorted(live), "sweep": sorted(sweep)}))
     os.replace(tmp, seg_root / _MANIFEST)  # atomic visibility flip
 
 
@@ -96,7 +139,9 @@ def register_segment(index_root, name: str) -> None:
     """Add a finished segment dir to the live set (idempotent).  Every
     segment-creating path must call this — the streaming sink does;
     out-of-band writers (tests, backfills) call it after their build."""
-    _write_live(index_root, set(live_segments(index_root)) | {name})
+    with _manifest_lock(index_root):
+        st = _manifest_state(index_root)
+        _write_state(index_root, set(st["live"]) | {name}, st["sweep"])
 
 
 def start_incremental_indexing(
@@ -336,6 +381,15 @@ def compact_tiered(
     deletion, and never a partial seg= dir breaking SegmentedSearch.
     Leftover unlisted dirs are swept at the start of the next run.
 
+    Concurrency (ADVICE r4, medium): the flip RE-READS the live set
+    under the manifest lock, so segments a streaming sink registered
+    during the (long) merge build survive the flip; the delisted
+    inputs are recorded in the manifest's explicit ``sweep`` list and
+    only those names (plus compaction's own .tmp-/'+'-form dirs) are
+    ever deleted, so a sink epoch — even one reusing an old epoch id
+    after a checkpoint reset — is never inferred to be garbage
+    (ADVICE r4, low).
+
     Returns {"merged": [...], "remaining": int} plus the merged
     segment's build stats under "stats" (empty dict if below the
     threshold)."""
@@ -343,28 +397,27 @@ def compact_tiered(
 
     root = Path(index_root)
     seg_root = _seg_root(root)
-    live = live_segments(root)
-    _write_live(root, live)  # adopt pre-manifest layouts
-    # sweep crash garbage — but ONLY dirs compaction provably owns,
-    # so a streaming sink building a new epoch segment CONCURRENTLY
-    # is never collateral: (a) .tmp-* working dirs, (b) unlisted
-    # merged-form names ('+' only ever appears in compaction output),
-    # (c) unlisted plain segments that are a '+'-component of a LIVE
-    # merged name (inputs whose post-swap rmtree crashed).  Unlisted
-    # plain dirs with no such proof are left untouched (unregistered
-    # out-of-band builds or an in-flight sink epoch).
-    merged_components = {
-        c for n in live if "+" in n for c in n.split("=", 1)[1].split("+")
-    }
-    for p in seg_root.iterdir():
-        if not p.is_dir() or p.name in live:
-            continue
-        if p.name.startswith(".tmp-"):
-            shutil.rmtree(p)
-        elif p.name.startswith("seg="):
-            suffix = p.name.split("=", 1)[1]
-            if "+" in suffix or suffix in merged_components:
+    with _manifest_lock(root):
+        st = _manifest_state(root)
+        live = st["live"]
+        # sweep crash garbage — ONLY dirs compaction provably owns:
+        # (a) .tmp-* working dirs, (b) unlisted '+'-form merged names
+        # (only compaction writes those), (c) the manifest's explicit
+        # sweep list — already-delisted merge inputs whose deletion
+        # crashed.  Unlisted plain dirs with no such proof are left
+        # untouched (unregistered out-of-band builds or an in-flight
+        # sink epoch).
+        for p in seg_root.iterdir():
+            if not p.is_dir() or p.name in live:
+                continue
+            if (
+                p.name.startswith(".tmp-")
+                or p.name in st["sweep"]
+                or (p.name.startswith("seg=") and "+" in p.name)
+            ):
                 shutil.rmtree(p)
+        # adopt pre-manifest layouts; swept names leave the sweep list
+        _write_state(root, live, ())
     if len(live) <= max_segments:
         return {"merged": [], "remaining": len(live)}
 
@@ -385,9 +438,16 @@ def compact_tiered(
         spark, [str(seg_root / n / "forward") for n in tier], str(tmp), **kw
     )
     os.replace(tmp, seg_root / merged_name)  # complete, still unlisted
-    _write_live(root, (set(live) - set(tier)) | {merged_name})  # flip
-    for n in tier:  # now-unlisted inputs; crash here → swept next run
+    with _manifest_lock(root):
+        # flip on the FRESH live set: registrations that landed during
+        # the merge build stay visible; the inputs go on the sweep list
+        fresh = set(_manifest_state(root)["live"])
+        _write_state(root, (fresh - set(tier)) | {merged_name}, tier)
+    for n in tier:  # delisted inputs; crash here → swept next run
         shutil.rmtree(seg_root / n)
+    with _manifest_lock(root):
+        st = _manifest_state(root)
+        _write_state(root, st["live"], set(st["sweep"]) - set(tier))
     return {
         "merged": list(tier),
         "remaining": len(live_segments(root)),

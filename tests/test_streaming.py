@@ -174,3 +174,89 @@ def test_compaction_crash_states_are_invisible(spark, streamed):
     assert bystander.exists()  # left for its writer to register
     assert I.SegmentedSearch(spark, index_root).n_docs == n_before
     shutil.rmtree(bystander)
+
+
+@pytest.fixture()
+def tiny_root(spark, streamed, tmp_path):
+    """Fresh segment root with three tiny REAL segments (sizes 10 <
+    20 < 30 docs so the compaction tier pick is deterministic), all
+    registered live."""
+    _, _, docs = streamed
+    root = tmp_path / "idx2"
+    for name, n in (("seg=10", 10), ("seg=11", 20), ("seg=12", 30)):
+        seg = docs.orderBy("doc_id").limit(n)
+        IndexBuilder(
+            spark,
+            str(root / "segments" / name),
+            num_shards=1,
+            num_buckets=2,
+        ).build(seg, resume=False)
+        I.register_segment(root, name)
+    return root
+
+
+def test_concurrent_registration_survives_flip(spark, streamed, tiny_root):
+    """ADVICE r4 (medium): a streaming sink that registers a new epoch
+    WHILE compact_tiered builds its merge must stay live after the
+    manifest flip — the flip re-reads the live set under the lock
+    instead of writing back its pre-merge snapshot."""
+    _, _, docs = streamed
+    root = tiny_root
+    # a real finished segment, not yet registered (the sink's epoch)
+    late = docs.orderBy(P.F.desc("doc_id")).limit(5)
+    IndexBuilder(
+        spark, str(root / "segments" / "seg=42"), num_shards=1, num_buckets=2
+    ).build(late, resume=False)
+
+    real_fold = I._fold_forward_dirs
+
+    def fold_and_register(*a, **kw):
+        # simulate the sink committing an epoch mid-merge
+        I.register_segment(root, "seg=42")
+        return real_fold(*a, **kw)
+
+    I._fold_forward_dirs = fold_and_register
+    try:
+        out = I.compact_tiered(
+            spark, str(root), max_segments=2, num_shards=1, num_buckets=2
+        )
+    finally:
+        I._fold_forward_dirs = real_fold
+    assert out["merged"] == ["seg=10", "seg=11"]
+    live = I.live_segments(root)
+    assert "seg=42" in live  # the mid-merge registration survived
+    assert "seg=10+11" in live and "seg=12" in live
+    assert I._manifest_state(root)["sweep"] == []  # inputs fully swept
+    assert not (root / "segments" / "seg=10").exists()
+
+
+def test_sweep_is_explicit_not_inferred(spark, tiny_root):
+    """ADVICE r4 (low): only the manifest's explicit sweep list (plus
+    .tmp-/'+'-form dirs) is deleted.  A plain unlisted dir whose name
+    is a '+'-component of a live merged segment — e.g. a NEW stream
+    generation's half-built seg=10 after a checkpoint reset reused
+    epoch ids — is no longer inferred to be compaction garbage."""
+    import shutil
+
+    root = tiny_root
+    seg_root = root / "segments"
+    # make seg=10+11 live (clone of a real segment under a merged name)
+    shutil.copytree(seg_root / "seg=10", seg_root / "seg=10+11")
+    with I._manifest_lock(root):
+        st = I._manifest_state(root)
+        I._write_state(
+            root,
+            (set(st["live"]) - {"seg=10", "seg=11"}) | {"seg=10+11"},
+            ["seg=11"],  # crashed deletion: 11 delisted, rmtree pending
+        )
+    # a new-generation epoch reusing id 10: unlisted plain dir
+    (seg_root / "seg=10").exists() or shutil.copytree(
+        seg_root / "seg=12", seg_root / "seg=10"
+    )
+
+    out = I.compact_tiered(spark, str(root), max_segments=8)
+    assert out["merged"] == []  # below threshold — sweep only
+    assert (seg_root / "seg=10").exists()  # NOT inferred garbage
+    assert not (seg_root / "seg=11").exists()  # explicit sweep entry
+    assert I._manifest_state(root)["sweep"] == []
+    assert sorted(I.live_segments(root)) == ["seg=10+11", "seg=12"]
