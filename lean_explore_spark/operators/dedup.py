@@ -415,6 +415,13 @@ def dup_clusters(
     # instead of accumulating one corpus-sized block set per round in
     # a long-lived session.  Only the FINAL labels stay persisted (the
     # caller consumes them); edges unpersist before return.
+    #
+    # Materialize the edges cache BEFORE snapshotting base_ids (ADVICE
+    # r4 medium): the cached RDD only registers in getPersistentRDDs on
+    # its first job, which used to be the first labels checkpoint — so
+    # it landed in prev_ids and round 1's _unpersist_rdds dropped it,
+    # recomputing the full pair-generation pipeline every round.
+    edges.count()
     base_ids = _persistent_rdd_ids(sc)
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -124,3 +124,49 @@ def test_driver_regime_1m_pairs_arrow_fast(spark):
     e2e_sec = time.time() - t0
     assert n_losers == 1_000_000
     assert e2e_sec < 90, e2e_sec
+
+
+def test_distributed_regime_keeps_edges_cached(spark, monkeypatch):
+    """ADVICE r4 (medium): the edges cache must survive round 1's
+    snapshot-unpersist hygiene.  The cached RDD only registers in
+    getPersistentRDDs on its first job; materializing edges BEFORE the
+    base snapshot puts it in base_ids so the per-round snapshot-diff
+    never unpersists it.  (The failure is a per-round shuffle re-read,
+    not a source rescan — shuffle-file reuse masks it from
+    accumulator-based detection, measured while writing this test.)
+
+    Differential: with the fix, ≥1 new persistent RDD (the edges
+    cache) exists at the FIRST in-function snapshot, stays present in
+    every later snapshot, and is never passed to _unpersist_rdds;
+    without the fix the first snapshot contains no new id."""
+    sc = spark.sparkContext
+    before = D._persistent_rdd_ids(sc)
+
+    snaps, dropped = [], []
+    orig_snap, orig_unp = D._persistent_rdd_ids, D._unpersist_rdds
+
+    def rec_snap(sc_):
+        s = orig_snap(sc_)
+        snaps.append(set(s))
+        return s
+
+    def rec_unp(sc_, ids):
+        dropped.append(set(ids))
+        orig_unp(sc_, ids)
+
+    monkeypatch.setattr(D, "_persistent_rdd_ids", rec_snap)
+    monkeypatch.setattr(D, "_unpersist_rdds", rec_unp)
+
+    pairs = _pairs(spark, [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
+
+    edges_ids = snaps[0] - before
+    assert edges_ids, "edges cache not materialized before base snapshot"
+    for s in snaps[1:]:
+        assert edges_ids <= s  # cached through every round
+    for d in dropped:
+        assert not (edges_ids & d)  # hygiene never drops the edges cache
