@@ -1,8 +1,8 @@
 """Multi-engine search-result dumper (r3 VERDICT #8): run every query
-through each serving path — WAND (auto), forced bulk, forced
-block-max, the candidate-free DataFrame scorer, and the distributed
-per-shard-task path — and emit one JSON line per (query, engine) with
-the top-k (doc_id, score) pairs.
+through each serving path — classic WAND, the auto per-shard picker,
+forced bulk, forced block-max, the candidate-free DataFrame scorer,
+and the distributed per-shard-task path — and emit one JSON line per
+(query, engine) with the top-k (doc_id, score) pairs.
 
 The analog of the reference's ``benchmarking/gather_search_data.py``
 (:34-40), which dumps per-query results from multiple engines for an
@@ -14,7 +14,7 @@ inspectable).
 Usage:
     python jobs/gather_results.py --sf-dir /root/testdata/sf0.001 \
         [--queries /root/reference/benchmarking/queries.txt] \
-        [--k 10] [--engines wand,bulk,blockmax,df,distributed] \
+        [--k 10] [--engines wand,auto,bulk,blockmax,df,distributed] \
         [--out /tmp/results.jsonl]
 """
 
@@ -70,9 +70,13 @@ def run(
     stats = A.doc_stats(analyzed)
 
     def run_engine(name: str, tokens: list[str]):
-        if name in ("wand", "bulk", "blockmax"):
-            mode = {"wand": "auto"}.get(name, name)
-            return engine.search_tokens(tokens, k, mode=mode)
+        if name in ("wand", "bulk", "blockmax", "auto"):
+            # names map 1:1 to SearchEngine modes — 'wand' really is
+            # the classic document-at-a-time WAND loop, 'auto' the
+            # per-shard bulk/block-max picker (ADVICE r4: 'wand' used
+            # to silently alias 'auto', so dumps never exercised the
+            # loop they were labeled with)
+            return engine.search_tokens(tokens, k, mode=name)
         if name == "df":
             rows = df_scorer.score_query(spark, tdf, stats, tokens, k).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
@@ -110,7 +114,7 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="one query per line")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
-        "--engines", default="wand,bulk,blockmax,df,distributed"
+        "--engines", default="wand,auto,bulk,blockmax,df,distributed"
     )
     ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default="/tmp/gather_results")

@@ -77,3 +77,30 @@ def test_analyze_rankings_on_real_dump(spark, tmp_path):
     out = analyze(lines, baseline="wand")
     for pair, m in out["pairs"].items():
         assert m == {"exact": 1.0, "overlap": 1.0, "tau": 1.0, "rbo": 1.0}, pair
+
+
+def test_wand_engine_runs_classic_loop(spark, tmp_path, monkeypatch):
+    """ADVICE r4 (low): the engine named 'wand' must actually run
+    mode='wand' (the classic document-at-a-time loop), and 'auto' is
+    its own engine — the dump's labels mean what they say."""
+    from lean_explore_spark.query.search import SearchEngine
+
+    seen = []
+    orig = SearchEngine.search_tokens
+
+    def spy(self, tokens, k=50, mode="auto"):
+        seen.append(mode)
+        return orig(self, tokens, k, mode=mode)
+
+    monkeypatch.setattr(SearchEngine, "search_tokens", spy)
+    lines = run(
+        "/root/testdata/sf0.001",
+        ["data page"],
+        5,
+        ["wand", "auto", "bulk", "blockmax"],
+        None,
+        str(tmp_path),
+    )
+    assert seen == ["wand", "auto", "bulk", "blockmax"]
+    res = [tuple((r["doc_id"], r["score"]) for r in ln["results"]) for ln in lines]
+    assert len(set(res)) == 1  # all four modes bit-identical
