@@ -214,6 +214,12 @@ def scaled_pagerank(ranks: DataFrame) -> DataFrame:
     )
 
 
+# fold the accumulating level-union into an eager checkpoint every
+# this many levels: truncates the O(levels) plan chain and releases
+# the window's frontier checkpoints (r4 VERDICT #2)
+_OUT_CHECKPOINT_EVERY = 32
+
+
 def topological_levels(
     edges: DataFrame,
     max_iter: int = 10_000,
@@ -283,33 +289,76 @@ def topological_levels(
         )
         return spark.createDataFrame(out, "node long, level int")
 
+    # Executor-storage hygiene (r4 VERDICT #2 — mirrors the dedup
+    # dup_clusters fix): each round's eager localCheckpoints are
+    # unpersisted once superseded, and the accumulating `out` union is
+    # eagerly checkpointed every _OUT_CHECKPOINT_EVERY levels, which
+    # both truncates the O(levels) plan chain and lets the window's
+    # frontier checkpoints (still referenced by the union until then)
+    # be released.  On return only the blocks the RESULT depends on
+    # stay persisted: the last `out` checkpoint, ≤ window frontiers,
+    # and the final remaining_nodes snapshot — bounded, not O(levels).
+    from lean_explore_spark.operators.dedup import (
+        _persistent_rdd_ids,
+        _unpersist_rdds,
+    )
+
+    sc = spark.sparkContext
     edges = edges.select("src", "dst").distinct().cache()
+    # materialize the cache BEFORE the base snapshot so its RDD id
+    # lands in base_ids, never in a superseded-round diff (the dedup
+    # ADVICE-r4 trap)
+    edges.count()
+    base_ids = _persistent_rdd_ids(sc)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     remaining_edges = edges
-    remaining_nodes = nodes.cache()
+    remaining_nodes = nodes.localCheckpoint(eager=True)
+    round_ids = _persistent_rdd_ids(sc) - base_ids
+    window_ids: set = set()  # frontier ckpts since the last out ckpt
+    out_ids: set = set()
     out: DataFrame | None = None
     level = 0
     while level < max_iter:
         with_in = remaining_edges.select(F.col("dst").alias("node")).distinct()
-        frontier = remaining_nodes.join(with_in, "node", "left_anti").cache()
-        n_frontier = frontier.count()
-        if n_frontier == 0:
+        pre = _persistent_rdd_ids(sc)
+        frontier = remaining_nodes.join(
+            with_in, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        fids = _persistent_rdd_ids(sc) - pre
+        if frontier.isEmpty():
+            _unpersist_rdds(sc, fids)
             break  # only cycles remain
+        window_ids |= fids
         out_lvl = frontier.withColumn("level", F.lit(level))
         out = out_lvl if out is None else out.unionByName(out_lvl)
+        pre = _persistent_rdd_ids(sc)
         remaining_nodes = remaining_nodes.join(
             frontier, "node", "left_anti"
         ).localCheckpoint(eager=True)
         remaining_edges = remaining_edges.join(
             frontier.withColumnRenamed("node", "src"), "src", "left_anti"
         ).localCheckpoint(eager=True)
+        new_round = _persistent_rdd_ids(sc) - pre
+        # the previous round's remaining_* snapshots back nothing now
+        # (frontier and the new snapshots are checkpoint-truncated)
+        _unpersist_rdds(sc, round_ids)
+        round_ids = new_round
+        level += 1
+        if level % _OUT_CHECKPOINT_EVERY == 0:
+            pre = _persistent_rdd_ids(sc)
+            out = out.localCheckpoint(eager=True)
+            new_out = _persistent_rdd_ids(sc) - pre
+            # the union chain is folded into the new checkpoint; the
+            # window's frontiers and the superseded out ckpt release
+            _unpersist_rdds(sc, (window_ids | out_ids) - new_out)
+            window_ids, out_ids = set(), new_out
         if remaining_nodes.isEmpty():
             break
-        level += 1
+    edges.unpersist()  # result depends only on checkpointed blocks
     cyclic = remaining_nodes.withColumn("level", F.lit(-1))
     if out is None:
         return cyclic
