@@ -164,3 +164,30 @@ def test_batch_search_matches_single(service):
         assert [(r.doc_id, r.final_score) for r in got] == [
             (r.doc_id, r.final_score) for r in want
         ]
+
+
+def test_lang_cache_is_lru_bounded(spark, tmp_path_factory):
+    """r4 VERDICT #3: a long-running spark-mode service must not grow
+    the doc_id→lang map without bound.  With a tiny cache the map
+    holds ≤ max(bound, current batch) entries across many queries, and
+    the lang filter still works on the query being served."""
+    from lean_explore_spark.query.service import SearchService
+
+    out = tmp_path_factory.mktemp("svc_lru") / "idx"
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    IndexBuilder(spark, str(out), num_shards=2, num_buckets=4).build(
+        docs, resume=False
+    )
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    svc = SearchService(
+        spark, str(out), emb, doc_meta=docs, lang_cache_size=50
+    )
+    queries = ["fast table scan", "customer orders", "data page merge",
+               "compress encode", "theorem group"]
+    for q in queries:
+        res = svc.search(q, lang_filter=["de"], sim_threshold=-1.0)
+        assert all(svc._lang[r.doc_id] == "de" for r in res)
+        # bound = max(50, last batch) — batch is faiss_k*3 candidates
+        assert len(svc._lang) <= max(50, 300)
+    # unbounded behavior would have ~5 batches × up-to-300 ids
+    assert len(svc._lang) <= 300
