@@ -251,3 +251,70 @@ def test_stateful_sessionizer_matches_batch_fold(spark, event_stream_dir):
             f"user {u} emitted a session that never existed: {extra}"
         )
         assert len(emitted) == len(set(emitted))
+
+
+def test_buffered_sessionizer_flood_cap(spark, tmp_path):
+    """r4 VERDICT #6: an adversarial single-user flood (300 events 1s
+    apart — one endless session the watermark never closes) must not
+    buffer unboundedly.  With max_buffered=50 the kernel force-closes
+    the oldest sessions early: every event is still emitted exactly
+    once (no drops), but the flood's session splits — ≥3 emissions
+    where the uncapped kernel yields exactly 2 (flood + flush)."""
+    import datetime
+    import os
+    import time
+
+    base = tmp_path / "flood"
+    t0 = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 7, "view", 0.0)
+        for i in range(300)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    df = spark.createDataFrame(rows, schema)
+    # 6 files of 50 events, mtimes pinned so each is one micro-batch
+    df.repartitionByRange(6, "ts").write.mode("overwrite").parquet(str(base))
+    parts = sorted(base.glob("part-*.parquet"))
+    now = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (now + i, now + i))
+    # flush event far in the future: watermark passes everything
+    flush = spark.createDataFrame(
+        [(9999, t0 + datetime.timedelta(days=40), 7, "flush", 0.0)], schema
+    )
+    before = set(base.glob("part-*.parquet"))
+    flush.coalesce(1).write.mode("append").parquet(str(base))
+    [newest] = set(base.glob("part-*.parquet")) - before
+    os.utime(newest, (now + 100, now + 100))
+
+    static = spark.read.parquet(str(base))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base))
+    )
+    sess = W.sessionize_stream(
+        stream, watermark="1 minute", ordered=False, max_buffered=50
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("flood_cap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["session_start"], r["session_end"], int(r["n_events"]))
+        for r in spark.sql("SELECT * FROM flood_cap").collect()
+    )
+    # every flood event emitted exactly once; the flush event's own
+    # session stays open (the watermark = flush−1min never passes it)
+    assert sum(n for _, _, n in got) == 300
+    assert len(got) >= 3  # cap forced early closes (uncapped: 1)
+    # emissions are contiguous, non-overlapping slices of the flood
+    for (s1, e1, _), (s2, e2, _) in zip(got, got[1:]):
+        assert e1 < s2
