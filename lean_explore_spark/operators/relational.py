@@ -209,6 +209,24 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _default_salt_expr(df: DataFrame):
+    """Deterministic per-row salt: all-columns hash, mixed with the
+    hidden ``_metadata`` (file_path, row_index) scan column when the
+    plan still exposes one — stable across task retries and
+    re-partitionings, and spreads byte-identical rows."""
+    try:
+        # raises at analysis when df is not a plain file scan
+        # (joined/aggregated plans lose the hidden column)
+        df.select("_metadata.file_path", "_metadata.row_index")
+        return F.xxhash64(
+            F.col("_metadata.file_path"),
+            F.col("_metadata.row_index"),
+            *[F.col(c) for c in df.columns],
+        )
+    except Exception:
+        return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
 def salted_two_stage_count(
     df: DataFrame,
     key_col: str,
@@ -229,21 +247,18 @@ def salted_two_stage_count(
 
     Limitation (ADVICE r3): fully IDENTICAL rows all hash to one salt
     bucket, so an all-columns hash cannot spread a duplicate-heavy hot
-    key.  For such inputs pass ``salt_expr`` mixing in a per-row
-    disambiguator that is stable for your source — e.g. for a file
-    source ``F.xxhash64(F.input_file_name(),
-    F.col("_metadata.row_index"))`` (re-derived identically on task
-    retry, unlike monotonically_increasing_id).  Determinism of the
-    RESULT is unaffected either way — the salt only routes partials."""
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(
-            salt_expr
-            if salt_expr is not None
-            else F.xxhash64(*[F.col(c) for c in df.columns]),
-            F.lit(salt_buckets),
-        ),
-    )
+    key.  For FILE-BACKED inputs this is closed automatically (r4
+    VERDICT #7): when the plan still exposes the hidden ``_metadata``
+    scan column, the default salt mixes in (file_path, row_index) — a
+    per-row disambiguator that task retries and re-partitionings
+    re-derive identically (unlike monotonically_increasing_id), so
+    even byte-identical rows spread.  For non-file inputs with heavy
+    duplicate rows, pass ``salt_expr`` with a source-stable
+    disambiguator.  Determinism of the RESULT is unaffected either
+    way — the salt only routes partials."""
+    if salt_expr is None:
+        salt_expr = _default_salt_expr(df)
+    salted = df.withColumn("_salt", F.pmod(salt_expr, F.lit(salt_buckets)))
     partial = salted.groupBy(key_col, "_salt").agg(
         F.count("*").alias("_partial")
     )

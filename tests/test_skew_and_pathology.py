@@ -157,3 +157,55 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+
+
+def test_salt_auto_spreads_identical_rows_from_files(spark, tmp_path):
+    """r4 VERDICT #7: for file-backed inputs the DEFAULT salt mixes in
+    the hidden _metadata (file_path, row_index), so a hot key made of
+    byte-IDENTICAL rows still spreads across salt buckets without the
+    caller supplying salt_expr (the all-columns hash sent them all to
+    one bucket).  Result unchanged vs a direct groupBy."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators.relational import (
+        _default_salt_expr,
+        salted_two_stage_count,
+    )
+
+    # 10k rows, 90% byte-identical ("HOT") — written to parquet so the
+    # scan exposes _metadata
+    src = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("key")
+    )
+    src.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+
+    got = {
+        r["key"]: r["n"] for r in salted_two_stage_count(df, "key").collect()
+    }
+    assert got["HOT"] == 9_000
+    assert got == {
+        r["key"]: r["cnt"]
+        for r in df.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    # the identical rows really spread: default salt on the file scan
+    n_salts = (
+        df.withColumn("_salt", F.pmod(_default_salt_expr(df), F.lit(16)))
+        .where(F.col("key") == "HOT")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 16
+    # non-file plans keep the all-columns fallback (identical rows
+    # collapse to one bucket there — the documented limitation)
+    mem = spark.createDataFrame([("HOT",)] * 100, "key string")
+    n_mem = (
+        mem.withColumn("_salt", F.pmod(_default_salt_expr(mem), F.lit(16)))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_mem == 1
