@@ -25,13 +25,15 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def ensure_input(n_pages: int, path: Path) -> None:
+def ensure_input(n_pages: int, path: Path, spark=None) -> None:
     if (path / "_SUCCESS").exists():
         return
     from lean_explore_spark.session import get_spark
     from lean_explore_spark.sources import pages as P
 
-    spark = get_spark(app_name="gen_pages")
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="gen_pages")
     spark.sparkContext.setLogLevel("ERROR")
     df = P.assign_doc_ids(
         P.extract_text(P.generate_pages(spark, n_pages, partitions=64))
@@ -41,7 +43,8 @@ def ensure_input(n_pages: int, path: Path) -> None:
         .write.mode("overwrite")
         .parquet(str(path))
     )
-    spark.stop()
+    if own_session:  # callers passing a session keep using it
+        spark.stop()
 
 
 def run_build(

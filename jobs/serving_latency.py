@@ -1,0 +1,143 @@
+"""Serving-latency table at rebuild scale (r4 VERDICT #5): p50/p95
+over the 299-query reference set, per serving mode, on the CURRENT
+serving path (LRU cold cache, O(k) TakeOrdered distributed merge,
+manifest-gated segments — r2's 400k numbers predate all of these).
+
+Modes:
+
+* ``preloaded``  — dictionary+postings pinned in driver memory
+  (reference-style asset preload; the latency-critical config).
+* ``cold``       — ``preload=False``: every lookup is a pruned Spark
+  read (bucket partition pruning + term pushdown), LRU-bounded
+  doc-length cache; nothing corpus-sized on the driver.
+* ``distributed``— one Spark task per doc-shard running block-max
+  WAND, O(k) TakeOrderedAndProject merge to the driver.
+
+Per-query latency is min-of-``--repeats`` (the robust estimator on a
+±2-3× CPU-steal VM — BENCH.md §0); the reported wall is the best
+single sweep.  Reference anchor: benchmark_search_rate.py:301-358
+(same percentile table over its query set).
+
+Usage:
+    python jobs/serving_latency.py [--pages 400000] [--k 50]
+        [--repeats 3] [--modes preloaded,cold,distributed]
+        [--workdir /tmp/serving_lat] [--cpus N]
+Prints one JSON line; commit it under bench_raw/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def percentiles(lat_sec: list[float]) -> dict:
+    s = sorted(lat_sec)
+    return {
+        "p50_ms": round(s[len(s) // 2] * 1000, 3),
+        "p95_ms": round(s[int(len(s) * 0.95)] * 1000, 3),
+        "p99_ms": round(s[int(len(s) * 0.99)] * 1000, 3),
+        "mean_ms": round(sum(s) / len(s) * 1000, 3),
+    }
+
+
+def measure(search_fn, queries: list[str], k: int, repeats: int) -> dict:
+    """min-of-repeats per query; wall/QPS from the best full sweep."""
+    per_q: list[float] | None = None
+    best_wall = float("inf")
+    for _ in range(max(1, repeats)):
+        lat = []
+        t0 = time.time()
+        for q in queries:
+            t1 = time.time()
+            search_fn(q, k)
+            lat.append(time.time() - t1)
+        best_wall = min(best_wall, time.time() - t0)
+        per_q = (
+            lat if per_q is None else [min(a, b) for a, b in zip(per_q, lat)]
+        )
+    out = percentiles(per_q)
+    out["wall_sec"] = round(best_wall, 3)
+    out["qps"] = round(len(queries) / best_wall, 1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--modes", default="preloaded,cold,distributed")
+    ap.add_argument("--workdir", default="/tmp/serving_lat")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--shards", type=int, default=32)
+    args = ap.parse_args()
+
+    from scaling import ensure_input  # same deterministic 400k corpus
+
+    from lean_explore_spark.index.builder import IndexBuilder
+    from lean_explore_spark.pyfiles import ensure_py_files
+    from lean_explore_spark.query.search import SearchEngine
+    from lean_explore_spark.session import get_spark
+
+    sys.path.insert(0, str(REPO / "jobs"))
+
+    # session + py-files zip FIRST: ensure_input's page generator runs
+    # package code on executors (cwd-independent, unlike scaling.py
+    # which relies on being launched from the repo root)
+    spark = get_spark(
+        app_name="serving_latency",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_py_files(spark)
+
+    work = Path(args.workdir)
+    inp = work / f"pages_{args.pages}"
+    ensure_input(args.pages, inp, spark=spark)
+
+    idx = work / f"idx_{args.pages}"
+    if not (idx / "stats.json").exists():
+        IndexBuilder(
+            spark, str(idx), num_shards=args.shards, num_buckets=16
+        ).build(
+            spark.read.parquet(str(inp)).select("doc_id", "text"),
+            resume=False,
+        )
+
+    sys.path.insert(0, str(REPO))
+    from bench import load_queries
+
+    queries = load_queries()
+
+    out = {
+        "pages": args.pages,
+        "k": args.k,
+        "n_queries": len(queries),
+        "repeats": args.repeats,
+        "modes": {},
+    }
+    for mode in args.modes.split(","):
+        if mode == "preloaded":
+            eng = SearchEngine(spark, str(idx), preload=True)
+            fn = lambda q, k: eng.search(q, k)  # noqa: E731
+        elif mode == "cold":
+            eng = SearchEngine(spark, str(idx), preload=False)
+            fn = lambda q, k: eng.search(q, k)  # noqa: E731
+        elif mode == "distributed":
+            eng = SearchEngine(spark, str(idx), preload=True)
+            fn = lambda q, k: eng.search_distributed(q, k)  # noqa: E731
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        out["modes"][mode] = measure(fn, queries, args.k, args.repeats)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
