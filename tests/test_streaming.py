@@ -260,3 +260,67 @@ def test_sweep_is_explicit_not_inferred(spark, tiny_root):
     assert not (seg_root / "seg=11").exists()  # explicit sweep entry
     assert I._manifest_state(root)["sweep"] == []
     assert sorted(I.live_segments(root)) == ["seg=10+11", "seg=12"]
+
+
+def test_register_threads_never_lost_during_compaction(spark, tiny_root, streamed):
+    """Real-interleaving stress for the r5 manifest lock: 4 threads
+    register out-of-band segments in a loop while compact_tiered runs
+    its merge.  Every registration must be visible afterwards and no
+    live dir deleted — the pre-lock flip lost any registration that
+    landed during the merge build."""
+    import threading
+
+    _, _, docs = streamed
+    root = tiny_root
+    # registrations reference real finished dirs (the sweep must
+    # never touch them even while unregistered)
+    names = [f"seg={100 + i}" for i in range(8)]
+    src = docs.orderBy("doc_id").limit(3)
+    for n in names:
+        IndexBuilder(
+            spark, str(root / "segments" / n), num_shards=1, num_buckets=2
+        ).build(src, resume=False)
+
+    # registrations start only once the merge BUILD is underway (after
+    # the tier pick), so they model sink epochs landing mid-merge —
+    # the exact window the pre-lock flip lost
+    merge_started = threading.Event()
+    real_fold = I._fold_forward_dirs
+
+    def fold_signal(*a, **kw):
+        merge_started.set()
+        return real_fold(*a, **kw)
+
+    it = iter(names)
+    lock = threading.Lock()
+
+    def register_some():
+        merge_started.wait(timeout=60)
+        while True:
+            with lock:
+                try:
+                    n = next(it)
+                except StopIteration:
+                    return
+            I.register_segment(root, n)
+
+    threads = [threading.Thread(target=register_some) for _ in range(4)]
+    for t in threads:
+        t.start()
+    I._fold_forward_dirs = fold_signal
+    try:
+        out = I.compact_tiered(
+            spark, str(root), max_segments=2, num_shards=1, num_buckets=2
+        )
+    finally:
+        I._fold_forward_dirs = real_fold
+    for t in threads:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in threads)
+
+    live = set(I.live_segments(root))
+    assert set(names) <= live, set(names) - live  # nothing lost
+    assert "seg=10+11" in live and out["merged"] == ["seg=10", "seg=11"]
+    for n in names:
+        assert (root / "segments" / n / "stats.json").exists()
+    assert I._manifest_state(root)["sweep"] == []
