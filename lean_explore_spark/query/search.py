@@ -418,3 +418,145 @@ class SearchEngine:
             assert len(rows) <= k  # O(k) driver rows by construction
             heap = [(r["score"], -r["doc_id"], r["doc_id"]) for r in rows]
         return self._finalize(heap, ctx, k)
+
+    def search_tokens_distributed_batch(
+        self, token_lists: Sequence[Sequence[str]], k: int = 50
+    ) -> List[List[Tuple[int, float]]]:
+        """Batched cluster-scale serving (r5): Q queries in ONE Spark
+        job.  Per-query distributed serving pays ~0.5 s of job
+        scheduling per query on this box (BENCH.md §3 r5 table) — for
+        offline evaluation sweeps (gather_results, LLM-judge dumps,
+        relevance regression suites) that fixed cost dominates.  Here
+        the union of all queries' terms is fetched in one pruned
+        postings read; each shard task parses each (shard, term) slice
+        once and runs block-max WAND once per query; a per-query
+        row_number window bounds the merge at O(Q·k) driver rows.
+
+        Exactness: identical to ``search_tokens_distributed`` per
+        query (same per-shard superset argument, same merge order,
+        same delta-floor fill), asserted bit-exact in
+        tests/test_distributed_search.py.
+        """
+        from lean_explore_spark.pyfiles import ensure_py_files
+
+        out_k = [min(k, self.n_docs) for _ in token_lists]
+        # ONE dictionary lookup for the union of query terms (cold
+        # mode: one pruned Spark read instead of Q)
+        union = sorted({t for toks in token_lists for t in toks})
+        dfs = self._lookup_dfs(union) if union else {}
+        qplans = []  # (ctx, {term: uterm_idx}) per query
+        for toks in token_lists:
+            live = [t for t in toks if t in dfs]
+            uterms: List[str] = []
+            uindex: Dict[str, int] = {}
+            for t in live:
+                if t not in uindex:
+                    uindex[t] = len(uterms)
+                    uterms.append(t)
+            idfs = np.array(
+                [
+                    math.log(self.n_docs + 1) - math.log(dfs[t])
+                    for t in uterms
+                ],
+                dtype=np.float64,
+            )
+            qplans.append(
+                (
+                    wand.QueryContext(
+                        token_uterm=[uindex[t] for t in live],
+                        idfs=idfs,
+                        k1=codec.K1,
+                        b=codec.B,
+                        delta=1.0,
+                        avgdl=self.avgdl,
+                    ),
+                    uindex,
+                )
+            )
+
+        heaps: List[list] = [[] for _ in token_lists]
+        all_terms = sorted({t for _, ui in qplans for t in ui})
+        if all_terms and max(out_k) > 0:
+            ensure_py_files(self.spark)
+            buckets = sorted(
+                {term_bucket(t, self.num_buckets) for t in all_terms}
+            )
+            postings = (
+                self.spark.read.schema(POSTINGS_SCHEMA)
+                .parquet(str(self.root / "postings"))
+                .where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(all_terms))
+            )
+            doc_stats_root = str(self.root / "doc_stats")
+            qplans_b = qplans
+            kk = max(out_k)
+
+            def score_shard(key, pdf):
+                import pandas as pd
+                import pyarrow.parquet as pq
+
+                from lean_explore_spark.query import search as S
+                from lean_explore_spark.query import wand as W
+
+                shard = int(key[0])
+                tbl = pq.read_table(
+                    f"{doc_stats_root}/shard={shard}",
+                    columns=["doc_id", "doc_len"],
+                )
+                dl_ids = tbl.column("doc_id").to_numpy()
+                order = dl_ids.argsort()
+                dl_ids = dl_ids[order]
+                dl_lens = tbl.column("doc_len").to_numpy()[order]
+                # parse each (shard, term) slice ONCE, share across
+                # queries (TermCursor holds the per-query scan state)
+                packed = {
+                    r["term"]: S._row_to_packed(r) for _, r in pdf.iterrows()
+                }
+                qids, docs, scores = [], [], []
+                for qi, (ctx, uindex) in enumerate(qplans_b):
+                    cursors = [
+                        W.TermCursor(packed[t], u, dl_ids)
+                        for t, u in uindex.items()
+                        if t in packed
+                    ]
+                    if not cursors:
+                        continue
+                    local_heap: list = []
+                    W.blockmax_bulk_shard(
+                        cursors, ctx, dl_ids, dl_lens, local_heap, kk
+                    )
+                    qids.extend([qi] * len(local_heap))
+                    docs.extend(e[2] for e in local_heap)
+                    scores.extend(e[0] for e in local_heap)
+                return pd.DataFrame(
+                    {"qid": qids, "doc_id": docs, "score": scores}
+                )
+
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("qid").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            topk_df = (
+                postings.groupBy("shard")
+                .applyInPandas(
+                    score_shard, schema="qid int, doc_id long, score double"
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= kk)
+                .select("qid", "doc_id", "score")
+            )
+            if self._plan_probe is not None:  # test hook (plan assert)
+                self._plan_probe(topk_df)
+            rows = topk_df.collect()
+            assert len(rows) <= kk * len(token_lists)  # O(Q·k) driver
+            for r in rows:
+                heaps[r["qid"]].append(
+                    (r["score"], -r["doc_id"], r["doc_id"])
+                )
+        return [
+            self._finalize(
+                sorted(h, reverse=True)[: out_k[qi]], qplans[qi][0], out_k[qi]
+            )
+            for qi, h in enumerate(heaps)
+        ]

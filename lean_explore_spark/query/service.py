@@ -250,6 +250,24 @@ class SearchService:
             for q in queries
         ]
 
+    def batch_lexical_search(
+        self,
+        queries: Sequence[str],
+        k: int = DEFAULT_LIMIT,
+        distributed: bool = False,
+    ) -> List[List[tuple]]:
+        """Batch BM25 top-k, result lists in input order.  With
+        ``distributed=True`` all queries run in ONE Spark job
+        (engine.search_tokens_distributed_batch, r5) — the offline-
+        evaluation path where per-query job scheduling (~0.5 s each)
+        would otherwise dominate the sweep."""
+        token_lists = [self.engine.analyze_query(q) for q in queries]
+        if distributed:
+            return self.engine.search_tokens_distributed_batch(
+                token_lists, k
+            )
+        return [self.engine.search_tokens(t, k) for t in token_lists]
+
     def lexical_search(
         self, query: str, k: int = DEFAULT_LIMIT, distributed: bool = False
     ) -> List[tuple]:

@@ -61,3 +61,32 @@ def test_distributed_fill_path(engine):
     local = engine.search_tokens(tokens, engine.n_docs)
     dist = engine.search_tokens_distributed(tokens, engine.n_docs)
     assert dist == local
+
+
+def test_batch_distributed_bit_exact_and_one_job_class(spark, engine):
+    """r5: search_tokens_distributed_batch runs Q queries in ONE Spark
+    job (plus the O(Q·k) merge) and every query's result is bit-exact
+    vs the per-query paths — including empty, absent-term, and
+    repeated-token pathologies."""
+    batch_queries = QUERIES + ["", "the data page", "nonexistentterm zz"]
+    token_lists = [tokenize_stem(q) for q in batch_queries]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("batch_dist", "batch distributed search")
+    try:
+        got = engine.search_tokens_distributed_batch(token_lists, 20)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("batch_dist")
+    # one scoring job + small merge/fill jobs — NOT one per query
+    # (8 queries × per-query jobs would be ≥ 8; AQE may split a few)
+    assert 0 < len(jobs) <= 6, len(jobs)
+
+    assert len(got) == len(token_lists)
+    for toks, res in zip(token_lists, got):
+        assert res == engine.search_tokens(toks, 20), toks
+        assert res == engine.search_tokens_distributed(toks, 20), toks
+
+
+def test_batch_distributed_empty_batch(engine):
+    assert engine.search_tokens_distributed_batch([], 10) == []

@@ -191,3 +191,10 @@ def test_lang_cache_is_lru_bounded(spark, tmp_path_factory):
         assert len(svc._lang) <= max(50, 300)
     # unbounded behavior would have ~5 batches × up-to-300 ids
     assert len(svc._lang) <= 300
+
+
+def test_batch_lexical_search_matches_single(service):
+    qs = ["fast table scan", "customer orders data", "", "zzz absent"]
+    singles = [service.lexical_search(q, 10) for q in qs]
+    assert service.batch_lexical_search(qs, 10) == singles
+    assert service.batch_lexical_search(qs, 10, distributed=True) == singles
