@@ -12,6 +12,9 @@ Modes:
   doc-length cache; nothing corpus-sized on the driver.
 * ``distributed``— one Spark task per doc-shard running block-max
   WAND, O(k) TakeOrderedAndProject merge to the driver.
+* ``distributed_batch`` (opt-in via --modes) — the whole sweep in ONE
+  Spark job (search_tokens_distributed_batch, r5); reports wall+QPS
+  only, since per-query latency is meaningless inside a batch.
 
 Per-query latency is min-of-``--repeats`` (the robust estimator on a
 ±2-3× CPU-steal VM — BENCH.md §0); the reported wall is the best
@@ -133,6 +136,22 @@ def main() -> None:
         elif mode == "distributed":
             eng = SearchEngine(spark, str(idx), preload=True)
             fn = lambda q, k: eng.search_distributed(q, k)  # noqa: E731
+        elif mode == "distributed_batch":
+            # whole sweep in ONE Spark job (r5); per-query latency is
+            # not meaningful here — report wall + QPS only
+            eng = SearchEngine(spark, str(idx), preload=True)
+            toks = [eng.analyze_query(q) for q in queries]
+            eng.search_tokens_distributed_batch(toks[:5], args.k)  # warm
+            best = float("inf")
+            for _ in range(max(1, args.repeats)):
+                t0 = time.time()
+                eng.search_tokens_distributed_batch(toks, args.k)
+                best = min(best, time.time() - t0)
+            out["modes"][mode] = {
+                "wall_sec": round(best, 3),
+                "qps": round(len(queries) / best, 1),
+            }
+            continue
         else:
             raise ValueError(f"unknown mode {mode!r}")
         out["modes"][mode] = measure(fn, queries, args.k, args.repeats)
