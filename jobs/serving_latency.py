@@ -82,14 +82,13 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=32)
     args = ap.parse_args()
 
+    sys.path.insert(0, str(REPO / "jobs"))
     from scaling import ensure_input  # same deterministic 400k corpus
 
     from lean_explore_spark.index.builder import IndexBuilder
     from lean_explore_spark.pyfiles import ensure_py_files
     from lean_explore_spark.query.search import SearchEngine
     from lean_explore_spark.session import get_spark
-
-    sys.path.insert(0, str(REPO / "jobs"))
 
     # session + py-files zip FIRST: ensure_input's page generator runs
     # package code on executors (cwd-independent, unlike scaling.py

@@ -330,7 +330,18 @@ def _components_numpy(ia, ib, n_nodes: int):
 def _persistent_rdd_ids(sc) -> set:
     """Ids of currently persisted RDD blocks (best-effort, via the
     JVM context — localCheckpoint storage is not reachable through the
-    public DataFrame API)."""
+    public DataFrame API).
+
+    SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r5, low): callers use
+    snapshot DIFFS of this set to find the RDDs their own
+    localCheckpoint calls persisted.  In a driver that runs OTHER jobs
+    concurrently on the same SparkContext, an RDD persisted by another
+    thread between two snapshots lands in the diff and gets
+    unpersisted here — never wrong answers, but a silent cache
+    eviction (recompute cost) for the other job.  dup_clusters /
+    topological_levels therefore assume no concurrent persisting
+    threads while they run; schedule them exclusively in
+    multi-threaded drivers."""
     try:
         return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     except Exception:

@@ -242,6 +242,12 @@ def topological_levels(
     * larger: the distributed frontier-join loop — one left-anti per
       round, eager localCheckpoints for constant-size plans,
       O(longest path) rounds.
+
+    The distributed regime's storage hygiene diffs persistent-RDD-id
+    snapshots and assumes a single-threaded driver while it runs (see
+    dedup._persistent_rdd_ids): a concurrent job's cache persisted
+    between snapshots would be unpersisted (recompute cost, never
+    wrongness).
     """
     spark = edges.sparkSession
     probe = (

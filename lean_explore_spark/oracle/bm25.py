@@ -101,7 +101,16 @@ def get_scores(
     score = np.zeros(n, dtype=np.float64)
     if n == 0:
         return score
-    dl_norm = k1 * (1.0 - b + b * stats.doc_len.astype(np.float64) / stats.avgdl)
+    if stats.avgdl > 0.0:
+        dl_norm = k1 * (
+            1.0 - b + b * stats.doc_len.astype(np.float64) / stats.avgdl
+        )
+    else:
+        # Degenerate corpus: every doc has 0 tokens, so the length-norm
+        # term is exactly 0 (postings are empty too, so scores stay 0).
+        # Computing 0/0 here would emit a RuntimeWarning that masks
+        # real NaN regressions in the property suite.
+        dl_norm = np.full(n, k1 * (1.0 - b), dtype=np.float64)
     for q in query_tokens:
         tf_map = stats.postings.get(q)
         if not tf_map:

@@ -72,18 +72,28 @@ from lean_explore_spark.query.search import SearchEngine, _row_to_packed
 
 _MANIFEST = "MANIFEST.json"
 _MANIFEST_LOCKFILE = ".manifest.lock"
-_manifest_mutex = threading.Lock()
+# per-index-root mutexes (ADVICE r5 low: one global lock made a long
+# compaction sweep block sinks of completely unrelated index roots in
+# the same driver); the guard only protects the dict itself
+_manifest_mutexes: dict = {}
+_manifest_mutexes_guard = threading.Lock()
 
 
 def _seg_root(index_root) -> Path:
     return Path(index_root) / "segments"
 
 
+def _mutex_for(seg_root: Path) -> threading.Lock:
+    key = str(seg_root.resolve())
+    with _manifest_mutexes_guard:
+        return _manifest_mutexes.setdefault(key, threading.Lock())
+
+
 @contextmanager
 def _manifest_lock(index_root):
     seg_root = _seg_root(index_root)
     seg_root.mkdir(parents=True, exist_ok=True)
-    with _manifest_mutex:
+    with _mutex_for(seg_root):
         with open(seg_root / _MANIFEST_LOCKFILE, "a+") as fh:
             try:
                 import fcntl
@@ -407,17 +417,24 @@ def compact_tiered(
         # crashed.  Unlisted plain dirs with no such proof are left
         # untouched (unregistered out-of-band builds or an in-flight
         # sink epoch).
-        for p in seg_root.iterdir():
-            if not p.is_dir() or p.name in live:
-                continue
-            if (
+        victims = [
+            p
+            for p in seg_root.iterdir()
+            if p.is_dir()
+            and p.name not in live
+            and (
                 p.name.startswith(".tmp-")
                 or p.name in st["sweep"]
                 or (p.name.startswith("seg=") and "+" in p.name)
-            ):
-                shutil.rmtree(p)
+            )
+        ]
         # adopt pre-manifest layouts; swept names leave the sweep list
         _write_state(root, live, ())
+    # rmtree OUTSIDE the lock (ADVICE r5 low): the victims are already
+    # delisted, so deletion can't race a reader, and sinks on this (or
+    # any other) index root aren't blocked for the whole sweep
+    for p in victims:
+        shutil.rmtree(p, ignore_errors=True)
     if len(live) <= max_segments:
         return {"merged": [], "remaining": len(live)}
 
@@ -443,11 +460,22 @@ def compact_tiered(
         # the merge build stay visible; the inputs go on the sweep list
         fresh = set(_manifest_state(root)["live"])
         _write_state(root, (fresh - set(tier)) | {merged_name}, tier)
-    for n in tier:  # delisted inputs; crash here → swept next run
-        shutil.rmtree(seg_root / n)
+    # Delete the delisted inputs — but re-check liveness first (ADVICE
+    # r5 low): a checkpoint-reset sink can re-register a segment whose
+    # name equals a tier input during this window (epoch-id reuse);
+    # such a dir is live again and must survive.  Resurrected names
+    # leave the sweep list; the rest are deleted outside the lock
+    # (already invisible) with ignore_errors so an already-gone dir
+    # doesn't abort compaction.
     with _manifest_lock(root):
         st = _manifest_state(root)
-        _write_state(root, st["live"], set(st["sweep"]) - set(tier))
+        doomed = [n for n in tier if n not in set(st["live"])]
+        _write_state(root, st["live"], set(st["sweep"]) & set(doomed))
+    for n in doomed:  # crash here → still on sweep list, swept next run
+        shutil.rmtree(seg_root / n, ignore_errors=True)
+    with _manifest_lock(root):
+        st = _manifest_state(root)
+        _write_state(root, st["live"], set(st["sweep"]) - set(doomed))
     return {
         "merged": list(tier),
         "remaining": len(live_segments(root)),
