@@ -14,7 +14,7 @@ inspectable).
 Usage:
     python jobs/gather_results.py --sf-dir /root/testdata/sf0.001 \
         [--queries /root/reference/benchmarking/queries.txt] \
-        [--k 10] [--engines wand,auto,bulk,blockmax,df,distributed] \
+        [--k 10] [--engines wand,auto,bulk,blockmax,df,distributed,distributed_batch] \
         [--out /tmp/results.jsonl]
 """
 
@@ -84,10 +84,40 @@ def run(
             return engine.search_tokens_distributed(tokens, k)
         raise ValueError(f"unknown engine {name!r}")
 
+    # 'distributed_batch' (r5 VERDICT #7): ALL queries through ONE
+    # Spark job — the offline-sweep engine; per-line sec is the batch
+    # wall amortized over Q (per-query latency inside one job is
+    # meaningless), with the true wall on every line as batch_sec
+    token_lists = [tokenize_stem(q) for q in queries]
+    batch_results = None
+    batch_wall = 0.0
+    if "distributed_batch" in engines:
+        t0 = time.time()
+        batch_results = engine.search_tokens_distributed_batch(
+            token_lists, k
+        )
+        batch_wall = time.time() - t0
+
     lines = []
-    for q in queries:
-        tokens = tokenize_stem(q)
+    for qi, q in enumerate(queries):
+        tokens = token_lists[qi]
         for name in engines:
+            if name == "distributed_batch":
+                topk = batch_results[qi]
+                lines.append(
+                    {
+                        "query": q,
+                        "engine": name,
+                        "k": k,
+                        "sec": round(batch_wall / max(1, len(queries)), 4),
+                        "batch_sec": round(batch_wall, 4),
+                        "results": [
+                            {"doc_id": int(d), "score": float(s)}
+                            for d, s in topk
+                        ],
+                    }
+                )
+                continue
             t0 = time.time()
             topk = run_engine(name, tokens)
             lines.append(
@@ -114,7 +144,8 @@ def main() -> None:
     ap.add_argument("--queries", default=None, help="one query per line")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
-        "--engines", default="wand,auto,bulk,blockmax,df,distributed"
+        "--engines",
+        default="wand,auto,bulk,blockmax,df,distributed,distributed_batch",
     )
     ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default="/tmp/gather_results")

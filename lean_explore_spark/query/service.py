@@ -225,6 +225,151 @@ class SearchService:
             return self._candidates_driver(qvec, k)
         return self._candidates_spark(qvec, k)
 
+    def _batch_candidates_spark(
+        self, qvecs: List[np.ndarray], k: int
+    ) -> List[List[tuple]]:
+        """Candidate top-k for Q queries in ONE Spark job (r5 VERDICT
+        #1: per-query spark mode paid ~2 scheduled jobs per query, so
+        an evaluation sweep cost O(Q) fixed scheduling — the same cost
+        the r5 lexical batching removed at 23×).
+
+        Bit-identity with the per-query path: each partition chunk
+        computes the SAME ``(mat/norms) @ qunit`` matvec per query
+        (never one Q-wide GEMM, whose BLAS kernel could differ in the
+        last ulp), keeps a per-chunk top-k superset with the same
+        (sim desc, vec_id asc) order, and a per-query row_number
+        window applies the identical global cut — asserted bit-exact
+        against ``search()`` in tests/test_service.py.
+
+        With ``ann_tables`` the scan is pruned per query via one
+        broadcast (qid, table, bucket) probe join — the same buckets
+        each per-query call would probe.  Driver traffic is O(Q·k)
+        candidate rows plus one lang-meta lookup for the union.
+        """
+        qmat = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                / np.linalg.norm(np.asarray(v, dtype=np.float64))
+                for v in qvecs
+            ]
+        )
+        nq = qmat.shape[0]
+        emb = self._embeddings
+        kk = k
+
+        if self.ann_tables > 0:
+            probes = [
+                (qi, t, sim_ops.lsh_bucket_of(qmat[qi], table=t))
+                for qi in range(nq)
+                for t in range(self.ann_tables)
+            ]
+            tb = sim_ops.rp_lsh_tables(emb, n_tables=self.ann_tables)
+            probe_df = tb.sparkSession.createDataFrame(
+                probes, "qid int, table int, bucket long"
+            )
+            pairs = (
+                tb.join(F.broadcast(probe_df), ["table", "bucket"])
+                .select("qid", "vec_id")
+                .distinct()
+                .join(emb, "vec_id")
+            )
+
+            def score_pairs(it):
+                import numpy as _np
+                import pandas as _pd
+
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    mat = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+                    unit = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+                    qids = pdf["qid"].to_numpy()
+                    sims = _np.empty(len(pdf), dtype=_np.float64)
+                    for qi in _np.unique(qids):
+                        m = qids == qi
+                        # same matvec shape as the per-query kernel
+                        sims[m] = unit[m] @ qmat[qi]
+                    yield _pd.DataFrame(
+                        {
+                            "qid": qids,
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "sim": sims,
+                        }
+                    )
+
+            scored = pairs.mapInPandas(
+                score_pairs, "qid int, vec_id long, sim double"
+            )
+        else:
+
+            def score_all(it):
+                import numpy as _np
+                import pandas as _pd
+
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    mat = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+                    unit = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+                    vec_ids = pdf["vec_id"].to_numpy()
+                    frames = []
+                    for qi in range(nq):
+                        sims = unit @ qmat[qi]  # identical per-query matvec
+                        if len(sims) > kk:
+                            # local top-k superset, same tie-break as
+                            # the global cut (sim desc, vec_id asc)
+                            sel = _np.lexsort((vec_ids, -sims))[:kk]
+                        else:
+                            sel = _np.arange(len(sims))
+                        frames.append(
+                            _pd.DataFrame(
+                                {
+                                    "qid": _np.full(len(sel), qi, dtype=_np.int32),
+                                    "vec_id": vec_ids[sel],
+                                    "sim": sims[sel],
+                                }
+                            )
+                        )
+                    yield _pd.concat(frames, ignore_index=True)
+
+            scored = emb.mapInPandas(
+                score_all, "qid int, vec_id long, sim double"
+            )
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        rows = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= kk)
+            .select("qid", "vec_id", "sim")
+            .collect()
+        )
+        assert len(rows) <= kk * nq  # O(Q·k) driver rows
+        out: List[List[tuple]] = [[] for _ in range(nq)]
+        for r in rows:
+            out[r["qid"]].append((int(r["vec_id"]), float(r["sim"])))
+        for lst in out:
+            lst.sort(key=lambda t: (-t[1], t[0]))
+        if self._doc_meta is not None and rows:
+            # ONE lang lookup for the union of all queries' candidates
+            # (the per-query path pays one broadcast-semi job each)
+            ids = sorted({int(r["vec_id"]) for r in rows})
+            ids_df = self.spark.createDataFrame(
+                [(i,) for i in ids], "vec_id long"
+            )
+            meta = self._doc_meta.select(
+                F.col("doc_id").alias("vec_id"), "lang"
+            )
+            for r in meta.join(F.broadcast(ids_df), "vec_id").collect():
+                self._lang[int(r["vec_id"])] = r["lang"]
+                self._lang.move_to_end(int(r["vec_id"]))
+            while len(self._lang) > max(self._lang_bound, len(ids)):
+                self._lang.popitem(last=False)
+        return out
+
     def batch_search(
         self,
         queries: Sequence[str],
@@ -233,11 +378,72 @@ class SearchService:
         faiss_k: int = DEFAULT_FAISS_K,
         sim_threshold: float = DEFAULT_SIM_THRESHOLD,
         log_path: Optional[str] = None,
+        distributed: bool = False,
     ) -> List[List[SearchResult]]:
         """Batch query API (reference local/service.py:331-341): N
         queries, result lists in input order.  Each query runs the full
         hybrid pipeline; per-query assets (dictionary slices, postings)
-        are shared through the engine's caches."""
+        are shared through the engine's caches.
+
+        ``distributed=True`` (spark embedding mode only, r5 VERDICT
+        #1): candidate generation + the lang-meta lookup for ALL
+        queries run in ~2 Spark jobs TOTAL instead of ~2 per query —
+        the offline-sweep path where per-query job scheduling
+        dominates (same fixed cost the r5 lexical batching removed at
+        23×).  Results are bit-identical to the per-query path
+        (asserted in tests/test_service.py); the remaining stages
+        (threshold, lang filter, candidate BM25, combine) are the
+        SAME ``_finish`` code.  With a preloaded engine the BM25
+        stage is driver-side, so the whole sweep stays at ~2 jobs; a
+        cold engine still pays its per-query pruned postings reads."""
+        if distributed and self.mode == "spark":
+            import time as _time
+
+            t0 = _time.time()
+
+            def _mklog(q):
+                def _log(status: str, n: int):
+                    if log_path:
+                        from lean_explore_spark.query.perf_log import (
+                            log_search_event,
+                        )
+
+                        # batched: elapsed is ms since batch start
+                        # (per-query latency inside one job is
+                        # meaningless)
+                        log_search_event(
+                            log_path,
+                            status,
+                            (_time.time() - t0) * 1000,
+                            n,
+                            q,
+                        )
+
+                return _log
+
+            live = [
+                (i, q) for i, q in enumerate(queries) if q and q.strip()
+            ]
+            out: List[List[SearchResult]] = [[] for _ in queries]
+            for i, q in enumerate(queries):
+                if not (q and q.strip()):
+                    _mklog(q)("EMPTY_QUERY", 0)
+            if live:
+                k = faiss_k * (OVERSAMPLE if lang_filter else 1)
+                cand_lists = self._batch_candidates_spark(
+                    [self.embed(q) for _, q in live], k
+                )
+                for (i, q), cands in zip(live, cand_lists):
+                    out[i] = self._finish(
+                        q,
+                        cands,
+                        limit,
+                        lang_filter,
+                        faiss_k,
+                        sim_threshold,
+                        _mklog(q),
+                    )
+            return out
         return [
             self.search(
                 q,
@@ -306,6 +512,23 @@ class SearchService:
             return []
         qvec = self.embed(query)
         cands = self._candidates(qvec, faiss_k, oversample=bool(lang_filter))
+        return self._finish(
+            query, cands, limit, lang_filter, faiss_k, sim_threshold, _log
+        )
+
+    def _finish(
+        self,
+        query: str,
+        cands: List[tuple],
+        limit: int,
+        lang_filter: Optional[Sequence[str]],
+        faiss_k: int,
+        sim_threshold: float,
+        _log,
+    ) -> List[SearchResult]:
+        """Post-candidate stages (threshold → lang filter → candidate
+        BM25 → combine → sort/limit), shared verbatim by the per-query
+        and batched paths so batching cannot drift semantically."""
         cands = [(d, s) for d, s in cands if s >= sim_threshold]
         if lang_filter:
             allowed = set(lang_filter)

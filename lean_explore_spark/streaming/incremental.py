@@ -299,6 +299,218 @@ class SegmentedSearch:
 
         return wand.finalize_topk(heap, ctx, k, unmatched_iter())
 
+    # -- distributed serving (r5 VERDICT #2) ---------------------------
+
+    def search_distributed(
+        self, query: str, k: int = 50
+    ) -> List[Tuple[int, float]]:
+        tokens = self.engines[0].analyze_query(query)
+        return self.search_tokens_distributed_batch([tokens], k)[0]
+
+    def search_tokens_distributed_batch(
+        self,
+        token_lists,
+        k: "int | List[int]" = 50,
+        mode: str = "blockmax",
+    ) -> List[List[Tuple[int, float]]]:
+        """Q queries over base + ALL segments in ONE Spark job.
+
+        r5 VERDICT #2: segmented serving used to be driver-only (one
+        engine per segment) — a segmented index whose postings outgrow
+        the driver could only be served distributed after a monolithic
+        rebuild.  Here each (segment, shard) posting slice becomes one
+        task running the same block-max WAND with the GLOBAL union
+        stats (N/avgdl summed over segments, df summed per term —
+        exactly what ``search`` computes), a per-query row_number
+        window bounds the merge at O(Q·k) driver rows, and the
+        delta-floor fill reuses the lazy ascending per-segment id
+        merge.  Rank-identity vs a monolithic rebuild AND vs the
+        driver-side segmented path is asserted in
+        tests/test_streaming.py; postings never transit the driver.
+
+        ``k`` is an int or one int per query; ``mode`` as in
+        ``SearchEngine.search_tokens_distributed_batch``.
+        """
+        import math
+
+        import pyspark.sql.functions as F
+
+        from lean_explore_spark.index.builder import (
+            POSTINGS_SCHEMA,
+            term_bucket,
+        )
+        from lean_explore_spark.pyfiles import ensure_py_files
+
+        if isinstance(k, int):
+            ks = [k] * len(token_lists)
+        else:
+            ks = [int(x) for x in k]
+            if len(ks) != len(token_lists):
+                raise ValueError(
+                    f"k list length {len(ks)} != {len(token_lists)} queries"
+                )
+        out_k = [min(kv, self.n_docs) for kv in ks]
+
+        # union dfs across segments (one pruned lookup per segment —
+        # cold engines do a dictionary read, preloaded ones a dict hit)
+        union = sorted({t for toks in token_lists for t in toks})
+        dfs: dict = {}
+        if union:
+            for e in self.engines:
+                for t, d in e._lookup_dfs(union).items():
+                    dfs[t] = dfs.get(t, 0) + d
+        qplans = []
+        for toks in token_lists:
+            live = [t for t in toks if t in dfs]
+            uterms: List[str] = []
+            uindex: dict = {}
+            for t in live:
+                if t not in uindex:
+                    uindex[t] = len(uterms)
+                    uterms.append(t)
+            idfs = np.array(
+                [
+                    math.log(self.n_docs + 1) - math.log(dfs[t])
+                    for t in uterms
+                ],
+                dtype=np.float64,
+            )
+            qplans.append(
+                (
+                    wand.QueryContext(
+                        token_uterm=[uindex[t] for t in live],
+                        idfs=idfs,
+                        k1=codec.K1,
+                        b=codec.B,
+                        delta=1.0,
+                        avgdl=self.avgdl,
+                    ),
+                    uindex,
+                )
+            )
+
+        heaps: List[list] = [[] for _ in token_lists]
+        all_terms = sorted({t for _, ui in qplans for t in ui})
+        kk = max(out_k, default=0)
+        if all_terms and kk > 0:
+            spark = self.spark
+            ensure_py_files(spark)
+            from functools import reduce
+
+            parts = []
+            roots = []
+            for si, e in enumerate(self.engines):
+                roots.append(str(e.root))
+                buckets = sorted(
+                    {term_bucket(t, e.num_buckets) for t in all_terms}
+                )
+                parts.append(
+                    spark.read.schema(POSTINGS_SCHEMA)
+                    .parquet(str(e.root / "postings"))
+                    .where(F.col("bucket").isin(buckets))
+                    .where(F.col("term").isin(all_terms))
+                    .withColumn("seg", F.lit(si))
+                )
+            postings = reduce(lambda a, b: a.unionByName(b), parts)
+            qplans_b = qplans
+            roots_b = roots
+            mode_b = mode
+            bulk_thr = SearchEngine.BULK_THRESHOLD
+            kk_b = kk
+
+            def score_shard(key, pdf):
+                import pandas as pd
+                import pyarrow.parquet as pq
+
+                from lean_explore_spark.query import search as S
+                from lean_explore_spark.query import wand as W
+
+                seg, shard = int(key[0]), int(key[1])
+                tbl = pq.read_table(
+                    f"{roots_b[seg]}/doc_stats/shard={shard}",
+                    columns=["doc_id", "doc_len"],
+                )
+                dl_ids = tbl.column("doc_id").to_numpy()
+                order = dl_ids.argsort()
+                dl_ids = dl_ids[order]
+                dl_lens = tbl.column("doc_len").to_numpy()[order]
+                packed = {
+                    r["term"]: S._row_to_packed(r)
+                    for _, r in pdf.iterrows()
+                }
+                qids, docs, scores = [], [], []
+                for qi, (ctx, uindex) in enumerate(qplans_b):
+                    cursors = [
+                        W.TermCursor(packed[t], u, dl_ids)
+                        for t, u in uindex.items()
+                        if t in packed
+                    ]
+                    if not cursors:
+                        continue
+                    local_heap: list = []
+                    total = sum(c.packed.count for c in cursors)
+                    if mode_b == "wand":
+                        W.wand_shard(
+                            cursors, ctx, dl_ids, dl_lens, local_heap, kk_b
+                        )
+                    elif mode_b == "bulk" or (
+                        mode_b == "auto" and total <= bulk_thr
+                    ):
+                        W.bulk_score_shard(
+                            cursors, ctx, dl_ids, dl_lens, local_heap, kk_b
+                        )
+                    else:
+                        W.blockmax_bulk_shard(
+                            cursors, ctx, dl_ids, dl_lens, local_heap, kk_b
+                        )
+                    qids.extend([qi] * len(local_heap))
+                    docs.extend(e[2] for e in local_heap)
+                    scores.extend(e[0] for e in local_heap)
+                return pd.DataFrame(
+                    {"qid": qids, "doc_id": docs, "score": scores}
+                )
+
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("qid").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            rows = (
+                postings.groupBy("seg", "shard")
+                .applyInPandas(
+                    score_shard, schema="qid int, doc_id long, score double"
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= kk_b)
+                .select("qid", "doc_id", "score")
+                .collect()
+            )
+            assert len(rows) <= kk * len(token_lists)  # O(Q·k) driver
+            for r in rows:
+                heaps[r["qid"]].append(
+                    (r["score"], -r["doc_id"], r["doc_id"])
+                )
+
+        out: List[List[Tuple[int, float]]] = []
+        for qi, h in enumerate(heaps):
+            ctx = qplans[qi][0]
+            heap = sorted(h, reverse=True)[: out_k[qi]]
+            matched = {e[2] for e in heap}
+
+            def unmatched_iter(matched=matched):
+                import heapq
+
+                for d in heapq.merge(
+                    *(e.iter_doc_ids() for e in self.engines)
+                ):
+                    if d not in matched:
+                        yield d
+
+            out.append(
+                wand.finalize_topk(heap, ctx, out_k[qi], unmatched_iter())
+            )
+        return out
+
 
 def _fold_forward_dirs(
     spark: SparkSession, parts: List[str], out_dir: str, **kw

@@ -9,7 +9,7 @@ import json
 from jobs.gather_results import DEFAULT_QUERIES, run
 from tests.conftest import SF_SMOKE
 
-ENGINES = ["wand", "bulk", "blockmax", "df", "distributed"]
+ENGINES = ["wand", "bulk", "blockmax", "df", "distributed", "distributed_batch"]
 
 
 def test_gather_results_engines_agree(spark, tmp_path):

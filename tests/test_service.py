@@ -198,3 +198,81 @@ def test_batch_lexical_search_matches_single(service):
     singles = [service.lexical_search(q, 10) for q in qs]
     assert service.batch_lexical_search(qs, 10) == singles
     assert service.batch_lexical_search(qs, 10, distributed=True) == singles
+
+
+def test_batch_search_distributed_bit_identical(service):
+    """r5 VERDICT #1: the batched spark-mode sweep (candidates + lang
+    lookup for ALL queries in ~2 jobs) must be BIT-identical to the
+    per-query path — every field, not just ranks, because the batched
+    kernel computes the same per-query matvec and the remaining
+    stages are the shared _finish code."""
+    qs = ["fast table scan", "merge join index", "", "customer orders data"]
+    for kw in ({"sim_threshold": -1.0}, {}):
+        batch = service.batch_search(qs, distributed=True, **kw)
+        assert len(batch) == len(qs)
+        for q, got in zip(qs, batch):
+            want = service.search(q, **kw)
+            assert [
+                (r.doc_id, r.final_score, r.raw_similarity, r.raw_bm25,
+                 r.norm_similarity, r.norm_pagerank, r.norm_bm25)
+                for r in got
+            ] == [
+                (r.doc_id, r.final_score, r.raw_similarity, r.raw_bm25,
+                 r.norm_similarity, r.norm_pagerank, r.norm_bm25)
+                for r in want
+            ], q
+
+
+def test_batch_search_distributed_lang_filter_and_ann(service, spark):
+    """Batched sweep under ann_tables pruning + lang filter: same
+    oversampling, same probe buckets, same filter — bit-identical to
+    per-query calls on the same service."""
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    ann = SearchService(
+        spark, str(service.engine.root), emb, doc_meta=docs,
+        pagerank=service.pagerank, ann_tables=8,
+    )
+    qs = ["fast table scan", "theorem group data"]
+    batch = ann.batch_search(
+        qs, sim_threshold=-1.0, lang_filter=["de"], distributed=True
+    )
+    for q, got in zip(qs, batch):
+        want = ann.search(q, sim_threshold=-1.0, lang_filter=["de"])
+        assert [(r.doc_id, r.final_score, r.raw_similarity) for r in got] == [
+            (r.doc_id, r.final_score, r.raw_similarity) for r in want
+        ], q
+    # plain lang-filtered batch on the exact-scan service too
+    batch2 = service.batch_search(
+        qs, sim_threshold=-1.0, lang_filter=["de"], distributed=True
+    )
+    for q, got in zip(qs, batch2):
+        want = service.search(q, sim_threshold=-1.0, lang_filter=["de"])
+        assert [(r.doc_id, r.final_score) for r in got] == [
+            (r.doc_id, r.final_score) for r in want
+        ], q
+
+
+def test_batch_search_distributed_job_count(service, spark):
+    """The point of the batched path: Spark-job count is O(1) in the
+    number of queries (candidates + lang lookup), not O(Q).  8 queries
+    per-query-mode schedule ~16 jobs; the batch must stay well under."""
+    qs = [
+        "fast table scan", "merge join index", "customer orders data",
+        "compress encode block", "theorem definition group",
+        "data page merge", "hash join probe", "sort spill partition",
+    ]
+    sc = spark.sparkContext
+    sc.setJobGroup("hybrid_batch_jobs", "batched hybrid sweep")
+    try:
+        out = service.batch_search(qs, sim_threshold=-1.0, distributed=True)
+    finally:
+        sc.setJobGroup("", "")
+    assert all(len(r) > 0 for r in out)
+    jobs = sc.statusTracker().getJobIdsForGroup("hybrid_batch_jobs")
+    # measured: 2 jobs (window top-k + lang broadcast-semi); bound
+    # leaves AQE headroom while staying far below the ~16 per-query
+    # jobs that would mark a regression to O(Q) scheduling
+    assert 0 < len(jobs) <= 6, len(jobs)

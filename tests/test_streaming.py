@@ -324,3 +324,35 @@ def test_register_threads_never_lost_during_compaction(spark, tiny_root, streame
     for n in names:
         assert (root / "segments" / n / "stats.json").exists()
     assert I._manifest_state(root)["sweep"] == []
+
+
+def test_segmented_distributed_batch_rank_identical(spark, streamed):
+    """r5 VERDICT #2: the distributed/batched segmented path — one
+    Spark job over (segment, shard) tasks with union global stats —
+    must be bit-identical to the driver-side segmented path (itself
+    oracle-identical), for every query in one batch, including empty /
+    absent-term / per-query-k shapes, and schedule O(1) jobs."""
+    _, index_root, _ = streamed
+    seg = I.SegmentedSearch(spark, index_root)
+    batch = QUERIES + ["", "nonexistentterm zz", "the the the data"]
+    want = [seg.search(q, 15) for q in batch]
+    token_lists = [tokenize_stem(q) for q in batch]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("seg_dist_batch", "segmented distributed batch")
+    try:
+        got = seg.search_tokens_distributed_batch(token_lists, 15)
+    finally:
+        sc.setJobGroup("", "")
+    assert got == want
+    jobs = sc.statusTracker().getJobIdsForGroup("seg_dist_batch")
+    assert 0 < len(jobs) <= 6, len(jobs)  # not O(Q) scheduling
+
+    # single-query wrapper + per-query k + cold engines
+    assert seg.search_distributed(QUERIES[0], 7) == seg.search(QUERIES[0], 7)
+    ks = [3, 9, 1, 15, 2, 4]
+    got_k = seg.search_tokens_distributed_batch(token_lists, ks)
+    for q, kv, res in zip(batch, ks, got_k):
+        assert res == seg.search(q, kv), (q, kv)
+    cold = I.SegmentedSearch(spark, index_root, preload=False)
+    assert cold.search_tokens_distributed_batch(token_lists, 15) == want
