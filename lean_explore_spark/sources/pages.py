@@ -158,7 +158,11 @@ def extract_text(pages: DataFrame) -> DataFrame:
 
 
 def assign_doc_ids(
-    pages: DataFrame, method: str = "hash", validate: bool = True
+    pages: DataFrame,
+    method: str = "hash",
+    validate: bool = True,
+    bits: int = 62,
+    max_rounds: int = 8,
 ) -> DataFrame:
     """Deterministic docID per url (SURVEY.md §1.2 / §4.4 trade-off).
 
@@ -168,19 +172,86 @@ def assign_doc_ids(
     builder's range shards stay balanced.  ``validate=True`` runs ONE
     count-vs-count-distinct aggregate and raises on a collision (at
     62 bits the birthday bound bites around 10^9 urls; a true 10^12
-    deployment widens to a 128-bit split id — two columns — or resolves
-    collisions with a salted rehash pass; this engine raises rather
-    than silently merging two urls into one docID).
+    deployment uses ``method="hash128"`` below, which RESOLVES
+    collisions deterministically instead of raising; plain "hash"
+    raises rather than silently merging two urls into one docID).
 
     ``method="dense"``: dense rank over url — exact 0..N-1 ids but a
     single-task global sort (``Window.orderBy`` with no partitionBy),
     the r1 VERDICT scale-killer; kept as the opt-in for small corpora
     that want compact ids.
+
+    ``method="hash128"`` (r5 VERDICT #3 — the 10^12-url answer): a
+    salted-rehash COLLISION-RESOLVING pass.  Round 0 hashes
+    ``xxhash64(url, salt=0)`` into ``bits`` bits; each round finds ids
+    held by >1 url (one groupBy) and rehashes EVERY row holding a
+    colliding id with salt+1 (a broadcast join against the tiny dup
+    set), until the id set is collision-free.  Ids stay single int64
+    (engine/codec/shard math unchanged — all-integer ``div`` per
+    CLAUDE.md); the result is a pure function of the url SET, so it is
+    deterministic across partitionings and re-runs, unlike a
+    first-writer-wins tie-break.  Expected extra rounds at n=10^12,
+    bits=62: ~n²/2^63 ≈ 0.2 rehashed rows per trillion — the loop is
+    O(1) full aggregates in practice.  ``bits``/``max_rounds`` exist
+    so tests can FORCE collisions (tiny width) and prove the resolve
+    path; duplicate urls can never converge and raise a distinct
+    error.
     """
     if method == "dense":
         w = Window.orderBy("url")
         return pages.withColumn(
             "doc_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+    if method == "hash128":
+        if not (1 <= bits <= 62):
+            raise ValueError(f"bits must be in [1, 62], got {bits}")
+        shift = 64 - bits
+        rehash = f"shiftrightunsigned(xxhash64(url, _salt), {shift})"
+        cur = pages.withColumn("_salt", F.lit(0)).withColumn(
+            "doc_id", F.expr(rehash)
+        )
+        for _ in range(max_rounds):
+            dup = (
+                cur.groupBy("doc_id")
+                .agg(F.count("*").alias("c"))
+                .where(F.col("c") > 1)
+                .select("doc_id")
+            )
+            if dup.isEmpty():
+                return cur.drop("_salt")
+            cur = (
+                cur.join(
+                    F.broadcast(dup.withColumn("_dup", F.lit(True))),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn(
+                    "_salt",
+                    F.when(
+                        F.col("_dup").isNotNull(), F.col("_salt") + 1
+                    ).otherwise(F.col("_salt")),
+                )
+                .withColumn(
+                    "doc_id",
+                    F.when(
+                        F.col("_dup").isNotNull(), F.expr(rehash)
+                    ).otherwise(F.col("doc_id")),
+                )
+                .drop("_dup")
+            )
+        row = pages.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("url").alias("u"),
+        ).collect()[0]
+        if int(row["n"]) != int(row["u"]):
+            raise ValueError(
+                f"hash128: {row['n']} rows but only {row['u']} distinct"
+                " urls — duplicate urls can never get distinct ids;"
+                " dedup first (webnorm.url_canonical)"
+            )
+        raise ValueError(
+            f"hash128: collisions unresolved after {max_rounds} rounds"
+            f" at bits={bits}; widen bits or raise max_rounds"
         )
     if method != "hash":
         raise ValueError(f"unknown doc-id method {method!r}")
@@ -195,6 +266,6 @@ def assign_doc_ids(
         if int(row["n"]) != int(row["d"]):
             raise ValueError(
                 f"doc_id hash collision: {row['n']} urls -> {row['d']} ids;"
-                " widen to split 128-bit ids or use method='dense'"
+                " use method='hash128' (salted-rehash resolve) or 'dense'"
             )
     return ids

@@ -114,3 +114,67 @@ def test_pages_to_index_rank_identical(spark, tmp_path):
         got = engine.search_tokens(toks, 20)
         want = [(d, s) for d, s in oracle.top_k(stats, toks, 20)]
         assert got == want, f"query {q!r}"
+
+
+def test_hash128_resolves_forced_collisions(spark, tmp_path):
+    """r5 VERDICT #3: method='hash128' deterministically RESOLVES
+    62-bit-style collisions instead of raising.  Forced with a tiny
+    hash width (bits=12 over 300 urls → collisions certain by the
+    birthday bound): ids come out unique, in-range, a pure function of
+    the url set (partitioning-independent), and an index built over
+    the resolved ids queries rank-identically to the numpy oracle."""
+    pages = P.generate_pages(spark, 300, partitions=4)
+
+    # plain hash at the same width would collide and raise
+    import pyspark.sql.functions as F
+
+    narrow = pages.withColumn(
+        "doc_id", F.expr("shiftrightunsigned(xxhash64(url), 52)")
+    )
+    n, d = narrow.agg(
+        F.count("*"), F.count_distinct("doc_id")
+    ).collect()[0]
+    assert int(d) < int(n), "bits=12 over 300 urls must collide"
+
+    ids = P.assign_doc_ids(pages, method="hash128", bits=12)
+    rows = ids.select("url", "doc_id").collect()
+    mapping = {r["url"]: r["doc_id"] for r in rows}
+    assert len(set(mapping.values())) == len(rows) == 300  # unique
+    assert all(0 <= v < 2**12 for v in mapping.values())
+
+    # deterministic across partitioning / re-runs
+    ids2 = P.assign_doc_ids(
+        pages.repartition(7), method="hash128", bits=12
+    )
+    assert {
+        r["url"]: r["doc_id"] for r in ids2.select("url", "doc_id").collect()
+    } == mapping
+
+    # duplicate urls can never converge → the distinct error fires
+    with pytest.raises(ValueError, match="distinct urls"):
+        P.assign_doc_ids(
+            pages.unionAll(pages.limit(5)),
+            method="hash128",
+            bits=12,
+            max_rounds=3,
+        )
+
+    # end-to-end: build + query over the collision-resolved ids
+    docs = P.extract_text(ids).select(
+        "doc_id", P.F.col("extracted_text").alias("text")
+    )
+    out = tmp_path / "idx128"
+    IndexBuilder(spark, str(out), num_shards=4, num_buckets=4).build(
+        docs, resume=False
+    )
+    eng = SearchEngine(spark, str(out), preload=True)
+    drows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    stats = oracle.build_stats(
+        [r["doc_id"] for r in drows],
+        (tokenize_stem(r["text"]) for r in drows),
+    )
+    for q in ("the data page", "compress encode block", "zzz absent"):
+        toks = tokenize_stem(q)
+        assert eng.search_tokens(toks, 10) == [
+            (d, s) for d, s in oracle.top_k(stats, toks, 10)
+        ], q
