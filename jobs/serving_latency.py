@@ -15,6 +15,14 @@ Modes:
 * ``distributed_batch`` (opt-in via --modes) — the whole sweep in ONE
   Spark job (search_tokens_distributed_batch, r5); reports wall+QPS
   only, since per-query latency is meaningless inside a batch.
+* ``hybrid_driver`` / ``hybrid_spark`` / ``hybrid_ann`` (opt-in) —
+  the FULL hybrid pipeline (embed → cosine candidates → threshold →
+  candidate BM25 → combine), embedding matrix preloaded / per-query
+  Spark scan / LSH-probe-pruned scan (r5 VERDICT #6; reference
+  anchor benchmark_search_rate.py:301-358 measures hybrid, not BM25).
+* ``hybrid_spark_batch`` / ``hybrid_ann_batch`` (opt-in) — the r6
+  batched hybrid sweep (~2 Spark jobs for the whole query set);
+  wall+QPS only.
 
 Per-query latency is min-of-``--repeats`` (the robust estimator on a
 ±2-3× CPU-steal VM — BENCH.md §0); the reported wall is the best
@@ -135,6 +143,55 @@ def main() -> None:
         elif mode == "distributed":
             eng = SearchEngine(spark, str(idx), preload=True)
             fn = lambda q, k: eng.search_distributed(q, k)  # noqa: E731
+        elif mode.startswith("hybrid"):
+            # r5 VERDICT #6: the reference's rate benchmark measures
+            # its FULL hybrid path (benchmark_search_rate.py:301-358),
+            # not BM25 alone.  Modes: hybrid_driver (preloaded
+            # embedding matrix), hybrid_spark (per-query table scan,
+            # ~2 jobs/query), hybrid_ann (spark + 8 LSH probe tables),
+            # hybrid_spark_batch / hybrid_ann_batch (the r6 batched
+            # sweep — whole query set in ~2 jobs; wall+QPS only).
+            from lean_explore_spark.query.service import SearchService
+
+            emb_path = work / f"emb_{args.pages}"
+            if not (emb_path / "_SUCCESS").exists():
+                from lean_explore_spark.operators.embed import embed_texts
+
+                embed_texts(
+                    spark.read.parquet(str(inp)).select("doc_id", "text")
+                ).write.mode("overwrite").parquet(str(emb_path))
+            emb = spark.read.parquet(str(emb_path))
+            meta = spark.read.parquet(str(inp)).select("doc_id", "lang")
+            ann = 8 if "ann" in mode else 0
+            emode = "driver" if mode == "hybrid_driver" else "spark"
+            svc = SearchService(
+                spark,
+                str(idx),
+                emb,
+                doc_meta=meta,
+                embedding_mode=emode,
+                ann_tables=ann,
+                preload=True,
+            )
+            if mode.endswith("_batch"):
+                svc.batch_search(queries[:5], distributed=True)  # warm
+                best = float("inf")
+                for _ in range(max(1, args.repeats)):
+                    t0 = time.time()
+                    svc.batch_search(queries, distributed=True)
+                    best = min(best, time.time() - t0)
+                out["modes"][mode] = {
+                    "wall_sec": round(best, 3),
+                    "qps": round(len(queries) / best, 1),
+                }
+            else:
+                out["modes"][mode] = measure(
+                    lambda q, k: svc.search(q, limit=k),
+                    queries,
+                    args.k,
+                    args.repeats,
+                )
+            continue
         elif mode == "distributed_batch":
             # whole sweep in ONE Spark job (r5); per-query latency is
             # not meaningful here — report wall + QPS only

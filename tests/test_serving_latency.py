@@ -58,3 +58,45 @@ def test_percentile_helper():
     p = percentiles([i / 1000 for i in range(1, 101)])
     assert p["p50_ms"] == 51.0
     assert p["p95_ms"] == 96.0
+
+
+def test_hybrid_modes_rank_identical(spark, served_index):
+    """r5 VERDICT #6 guard: the hybrid serving modes the latency
+    harness measures must agree — spark-mode per-query vs the batched
+    sweep bit-identical; driver mode the same candidate sets and
+    scores to the documented 1e-9 BLAS noise floor; ann mode a
+    subset-generator whose results are internally batch-consistent."""
+    from lean_explore_spark.operators.embed import embed_texts
+    from lean_explore_spark.query.service import SearchService
+
+    from bench import load_queries
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = embed_texts(docs.select("doc_id", "text")).cache()
+    queries = load_queries()[:12]
+
+    def mk(**kw):
+        return SearchService(
+            spark, served_index, emb, doc_meta=docs, **kw
+        )
+
+    svc_spark = mk()
+    svc_driver = mk(embedding_mode="driver")
+    svc_ann = mk(ann_tables=8)
+
+    batch = svc_spark.batch_search(queries, distributed=True)
+    ann_batch = svc_ann.batch_search(queries, distributed=True)
+    for q, got, agot in zip(queries, batch, ann_batch):
+        want = svc_spark.search(q)
+        assert [(r.doc_id, r.final_score, r.raw_bm25) for r in got] == [
+            (r.doc_id, r.final_score, r.raw_bm25) for r in want
+        ], q
+        dwant = {r.doc_id: r for r in svc_driver.search(q)}
+        assert set(dwant) == {r.doc_id for r in want}
+        for r in want:
+            assert abs(dwant[r.doc_id].final_score - r.final_score) < 1e-9
+        awant = svc_ann.search(q)
+        assert [(r.doc_id, r.final_score) for r in agot] == [
+            (r.doc_id, r.final_score) for r in awant
+        ], q
+    emb.unpersist()
