@@ -50,7 +50,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=400_000)
     ap.add_argument("--base", type=int, default=360_000)
-    ap.add_argument("--tails", default="2000x5,8000x5")
+    ap.add_argument("--tails", default="2000x5,7500x5")
     ap.add_argument("--full-contrast", action="store_true")
     ap.add_argument("--ingest", action="store_true")
     ap.add_argument("--workdir", default="/tmp/compaction_bench")
@@ -113,7 +113,9 @@ def main() -> None:
         seg_root = root / "segments"
         seg_root.mkdir()
         need = seg_size * n_segs
-        if need > len(tail_rows):
+        reserve = 3 * 200 if args.ingest else 0  # ingest rows come
+        # from the END of the tail so they never overlap segment rows
+        if need > len(tail_rows) - reserve:
             raise SystemExit(f"tail too small for {cfg}")
         for si in range(n_segs):
             rows = tail_rows[si * seg_size : (si + 1) * seg_size]
@@ -125,7 +127,7 @@ def main() -> None:
         if args.ingest:
             # pre-build tiny out-of-band segments; a thread registers
             # them DURING the merge — every one must survive the flip
-            extra = tail_rows[need : need + 3 * 200]
+            extra = tail_rows[len(tail_rows) - reserve :]
             for xi in range(3):
                 rows = extra[xi * 200 : (xi + 1) * 200]
                 sdf = spark.createDataFrame(

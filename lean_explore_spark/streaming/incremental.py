@@ -640,13 +640,32 @@ def compact_tiered(
                 or (p.name.startswith("seg=") and "+" in p.name)
             )
         ]
-        # adopt pre-manifest layouts; swept names leave the sweep list
-        _write_state(root, live, ())
+        # adopt pre-manifest layouts; sweep-listed names stay LISTED
+        # until their dir is actually gone (crash between this write
+        # and the rmtrees below must leave them re-sweepable — .tmp-/
+        # '+'-form victims are re-derivable from their name shape,
+        # plain sweep-list names are not)
+        victim_names = {p.name for p in victims}
+        _write_state(
+            root, live, [n for n in st["sweep"] if n in victim_names]
+        )
     # rmtree OUTSIDE the lock (ADVICE r5 low): the victims are already
     # delisted, so deletion can't race a reader, and sinks on this (or
-    # any other) index root aren't blocked for the whole sweep
-    for p in victims:
-        shutil.rmtree(p, ignore_errors=True)
+    # any other) index root aren't blocked for the whole sweep.  Skip
+    # any name a sink re-registered since collection (epoch-id reuse —
+    # same TOCTOU defense as the post-flip input deletion below).
+    if victim_names:
+        with _manifest_lock(root):
+            live_now = set(_manifest_state(root)["live"])
+        deleted = set()
+        for p in victims:
+            if p.name in live_now:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.add(p.name)
+        with _manifest_lock(root):
+            st2 = _manifest_state(root)
+            _write_state(root, st2["live"], set(st2["sweep"]) - deleted)
     if len(live) <= max_segments:
         return {"merged": [], "remaining": len(live)}
 
