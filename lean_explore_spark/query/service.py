@@ -134,6 +134,27 @@ class SearchService:
             # lang lookups are joined per candidate batch; the dict
             # fills lazily with candidates actually seen (bounded by
             # queries·k, not by the corpus)
+            if ann_tables > 0:
+                # Build the LSH bucket tables ONCE and pin them
+                # (MEMORY_AND_DISK): this is ANN *index load* — the
+                # FAISS-analog asset a serving process opens before
+                # taking traffic (same class as preload=True pinning
+                # postings).  Before r6 every query re-derived the
+                # (table, bucket, vec_id) relation from the raw
+                # embedding table — 8 tables × corpus plane-dots per
+                # query, measured 21.9 s/query at 400k vs 0.9 s for
+                # the UNpruned scan the prefilter is meant to beat.
+                # Persisted, the probe is a bucket-key join against a
+                # memory-resident relation.  Lives for the service
+                # lifetime by design; at real scale this relation is
+                # the G4 ANN index written as bucketed parquet.
+                from pyspark import StorageLevel
+
+                self._lsh_tables = sim_ops.rp_lsh_tables(
+                    self._embeddings, n_tables=ann_tables
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                self._lsh_tables.count()  # materialize at open, not
+                # on the first query's tail latency
         self.pagerank = pagerank or {}
         self.embed = embedder or stub_embedder(dim)
         self.weights = (w_semantic, w_pagerank, w_bm25)
@@ -162,7 +183,7 @@ class SearchService:
                 (t, sim_ops.lsh_bucket_of(qunit, table=t))
                 for t in range(self.ann_tables)
             ]
-            tb = sim_ops.rp_lsh_tables(emb, n_tables=self.ann_tables)
+            tb = self._lsh_tables  # pinned at init (ANN index load)
             probe_df = tb.sparkSession.createDataFrame(
                 probes, "table int, bucket long"
             )
@@ -263,7 +284,7 @@ class SearchService:
                 for qi in range(nq)
                 for t in range(self.ann_tables)
             ]
-            tb = sim_ops.rp_lsh_tables(emb, n_tables=self.ann_tables)
+            tb = self._lsh_tables  # pinned at init (ANN index load)
             probe_df = tb.sparkSession.createDataFrame(
                 probes, "qid int, table int, bucket long"
             )
