@@ -276,3 +276,30 @@ def test_batch_search_distributed_job_count(service, spark):
     # leaves AQE headroom while staying far below the ~16 per-query
     # jobs that would mark a regression to O(Q) scheduling
     assert 0 < len(jobs) <= 6, len(jobs)
+
+
+def test_ann_tables_pinned_once(service, spark):
+    """r6 regression guard: the LSH bucket tables are built and
+    persisted at service init (ANN index load) — NOT re-derived from
+    the raw embeddings per query.  Pre-fix, every probe recomputed 8
+    tables of corpus plane-dots: 21.9 s/query at 400k vs 1.50 s
+    pinned (bench_raw/serving_hybrid_r6_400k.json).  Guard both the
+    pinning and the per-query job bound."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    ann = SearchService(
+        spark, str(service.engine.root), emb,
+        pagerank=service.pagerank, ann_tables=8,
+    )
+    assert ann._lsh_tables.is_cached, "LSH tables must be persisted"
+    qvec = ann.embed("fast table scan")
+    ann._candidates_spark(qvec, 50)  # warm
+    sc = spark.sparkContext
+    sc.setJobGroup("ann_per_query", "pinned ANN probe")
+    try:
+        ann._candidates_spark(qvec, 50)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("ann_per_query")
+    # measured: 2 (probe join + top-k); 4 allows scheduler jitter but
+    # catches the rebuild (which adds the table-derivation job chain)
+    assert 0 < len(jobs) <= 4, len(jobs)
