@@ -124,6 +124,19 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+_SPANS_CACHE: dict = {}
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached duplicate-span relation: `dup_spans` reports it
+    and `dup_spans_cut` consumes it — materialize once (same pattern
+    as _shingles)."""
+    key = (id(spark), sf_dir)
+    if key not in _SPANS_CACHE:
+        _SPANS_CACHE[key] = D.dup_span_runs(_docs(spark, sf_dir)).cache()
+    return _SPANS_CACHE[key]
+
+
 def q_tokens_tf(spark, sf_dir):
     return A.term_doc_tf(_analyzed(spark, sf_dir))
 
@@ -470,6 +483,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("doc_a", "doc_b"),
         ).select("doc_id", "lang"),
         "simhash_hamming": lambda s, d: D.simhash_hamming_pairs(_docs(s, d)),
+        # exact substring dedup (Lee et al. 2022): maximal token spans
+        # whose 8-grams repeat corpus-wide (self-repeats count)
+        "dup_spans": _dup_spans,
+        # ...and the cleaning payoff: corpus with every duplicated
+        # span excised (all-copies policy), rebuilt token stream
+        "dup_spans_cut": lambda s, d: D.cut_dup_spans(
+            _docs(s, d), spans=_dup_spans(s, d)
+        ),
         # similarity / ANN
         "cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), QUERY_VEC_ID),
         "lsh_buckets": lambda s, d: S.rp_lsh_buckets(_emb(s, d)),
@@ -489,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), k=25
         ),
         "quality_score": lambda s, d: T.quality_score(_docs(s, d)),
+        # Gopher repetition signals (Rae et al. 2021 table A1)
+        "gopher_repetition": lambda s, d: T.gopher_repetition(_docs(s, d)),
         "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
         # relational operator classes
@@ -818,6 +841,157 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+"""
+
+# exact substring dedup (Lee et al. 2022 analog): the oracle joins on
+# the gram TEXT itself — engine-neutral with no hash at all — while the
+# Spark side shuffles only the md5-derived 60-bit int; identical spans
+# unless md5 collides inside one corpus (the gate would catch it)
+_DUP_SPANS_SQL = r"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM tl
+),
+g0 AS (
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+              || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w
+              || ' ' || lead(term, 5) OVER w || ' ' || lead(term, 6) OVER w
+              || ' ' || lead(term, 7) OVER w AS gram,
+         lead(term, 7) OVER w AS _l
+  FROM ptok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (SELECT doc_id, pos, gram FROM g0 WHERE _l IS NOT NULL),
+hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM dup
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM runs GROUP BY doc_id, rid
+"""
+
+# span-cut corpus: the spans CTE is the dup-spans oracle verbatim
+# (DuckDB supports a full WITH query inside a CTE body, same pattern
+# as _SIMHASH_HAMMING_SQL); rebuild = ordered string_agg of surviving
+# token positions
+_DUP_SPANS_CUT_SQL = r"""
+WITH spans AS (""" + _DUP_SPANS_SQL + r"""),
+tl2 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+),
+ptok2 AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM tl2
+),
+kill AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+  FROM spans
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.term
+  FROM ptok2 p LEFT JOIN kill k
+    ON k.doc_id = p.doc_id AND k.pos = p.pos
+  WHERE k.pos IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\w+')) AS n_tokens
+  FROM documents
+)
+SELECT nt.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(nt.n_tokens - coalesce(reb.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens
+FROM nt LEFT JOIN reb ON reb.doc_id = nt.doc_id
+"""
+
+# Gopher repetition signals: chars measured on the space-joined token
+# stream; most-frequent-gram tie-break = (count, length, text) DESC in
+# both engines (Spark max(struct) lexicographic = this ORDER BY)
+def _gopher_gn(n: int) -> str:
+    w = f"w{n}"
+    gram = "term" + "".join(
+        f" || ' ' || lead(term, {i}) OVER {w}" for i in range(1, n)
+    )
+    return (
+        f"SELECT doc_id, {n} AS n, {gram} AS gram,"
+        f" lead(term, {n - 1}) OVER {w} AS _l FROM ptok"
+        f" WINDOW {w} AS (PARTITION BY doc_id ORDER BY pos)"
+    )
+
+
+_GOPHER_SQL = r"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS denom
+  FROM tl
+),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM tl
+),
+gn AS (
+""" + "\n  UNION ALL\n".join(_gopher_gn(n) for n in (2, 3, 5, 8)) + r"""
+),
+grams AS (SELECT doc_id, n, gram FROM gn WHERE _l IS NOT NULL),
+cnt AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram
+),
+ranked AS (
+  SELECT doc_id, n, c, CAST(length(gram) AS BIGINT) AS l,
+         row_number() OVER (
+           PARTITION BY doc_id, n
+           ORDER BY c DESC, length(gram) DESC, gram DESC
+         ) AS rn
+  FROM cnt
+),
+topn AS (SELECT doc_id, n, c * l AS top_chars FROM ranked WHERE rn = 1),
+dupn AS (
+  SELECT doc_id, n,
+         CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+              AS BIGINT) AS dup_chars
+  FROM cnt GROUP BY doc_id, n
+)
+SELECT b.doc_id,
+  CASE WHEN b.denom > 0 THEN
+    round(coalesce(max(CASE WHEN t.n = 2 THEN t.top_chars END), 0)
+          / b.denom, 6) ELSE 0.0 END AS top2_char_frac,
+  CASE WHEN b.denom > 0 THEN
+    round(coalesce(max(CASE WHEN t.n = 3 THEN t.top_chars END), 0)
+          / b.denom, 6) ELSE 0.0 END AS top3_char_frac,
+  CASE WHEN b.denom > 0 THEN
+    round(coalesce(max(CASE WHEN d.n = 5 THEN d.dup_chars END), 0)
+          / b.denom, 6) ELSE 0.0 END AS dup5_char_frac,
+  CASE WHEN b.denom > 0 THEN
+    round(coalesce(max(CASE WHEN d.n = 8 THEN d.dup_chars END), 0)
+          / b.denom, 6) ELSE 0.0 END AS dup8_char_frac
+FROM base b
+LEFT JOIN topn t ON t.doc_id = b.doc_id
+LEFT JOIN dupn d ON d.doc_id = b.doc_id
+GROUP BY b.doc_id, b.denom
 """
 
 # similarity ------------------------------------------------------------
@@ -1649,6 +1823,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "simhash_hamming": _SIMHASH_HAMMING_SQL,
         "ngram_jaccard": _JACCARD_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
+        "dup_spans_cut": _DUP_SPANS_CUT_SQL,
         "jaccard_refined": _JACCARD_REFINED_SQL,
         "dedup_clusters": _DUP_CLUSTERS_SQL,
         "dedup_canonical": _DEDUP_CANONICAL_SQL,
@@ -1658,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_LSH_SQL,
         "lang_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
+        "gopher_repetition": _GOPHER_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -596,3 +596,137 @@ def simhash_hamming_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def _positioned_grams(docs: DataFrame, l: int) -> DataFrame:
+    """(doc_id, pos, gram_h): every OVERLAPPING word ``l``-gram with
+    its 1-based start token position.  Gram assembly folds inside the
+    row (one transform over the token array, consumed ONCE by the
+    posexplode — the single-consumer HOF case that stays cheap); the
+    gram string is immediately collapsed to the md5-derived 60-bit int
+    so only 8-byte keys ever shuffle, never gram text."""
+    arr = (
+        f"CASE WHEN size(_toks) >= {l} THEN "
+        f"transform(sequence(1, size(_toks) - {l - 1}),"
+        f" j -> array_join(slice(_toks, j, {l}), ' '))"
+        " ELSE array() END"
+    )
+    return (
+        docs.select("doc_id", F.expr(SQL_TOKENS).alias("_toks"))
+        .select("doc_id", F.posexplode(F.expr(arr)).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            _shingle_int("gram").alias("gram_h"),
+        )
+    )
+
+
+def dup_span_runs(
+    docs: DataFrame, l: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact substring deduplication (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" operator family): every
+    MAXIMAL token span whose ``l``-grams each occur >= ``min_count``
+    times corpus-wide (self-repeats within one document count).
+    Returns (doc_id, span_start, span_end, n_grams) with 1-based
+    inclusive token positions — the spans a training pipeline would cut
+    or down-weight.
+
+    Scale shape: positioned grams are one narrow codegen stage;
+    corpus-wide gram frequency is ONE partial-aggregated
+    groupBy(gram_h) (uniform 60-bit keys — skew-free); the hot-gram
+    semi-join shuffles 8-byte keys; the maximal-run merge
+    (gaps-and-islands: pos - row_number) is one window exchange
+    partitioned by doc_id.  Nothing is ever pairwise-quadratic and no
+    gram TEXT survives past the first projection, so this runs at
+    suffix-array-replacement scale — the 100 TB variant swaps the
+    exact count for a >=2-occurrence Bloom/count-min prefilter with
+    identical downstream algebra."""
+    from pyspark.sql import Window
+
+    grams = _positioned_grams(docs, l)
+    hot = (
+        grams.groupBy("gram_h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gram_h")
+    )
+    dup = grams.join(hot, "gram_h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("rid", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "rid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(l - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def cut_dup_spans(
+    docs: DataFrame, l: int = 8, min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The corpus-cleaning payoff of :func:`dup_span_runs` (Lee et al.
+    2022 ExactSubstr removal, all-copies policy): excise every token
+    covered by a duplicated span and rebuild the document from its
+    surviving token stream.  Returns (doc_id, clean_text,
+    n_removed_tokens); documents with no duplicated spans pass through
+    with ``n_removed_tokens = 0``.  ``clean_text`` is the space-joined
+    TOKEN stream (lowercased, punctuation-free) — the shape a training
+    pipeline tokenizes anyway; original formatting is already gone at
+    this stage by design.  The keep-one-canonical-occurrence variant
+    needs a global ordering over equal-text spans and is documented
+    future work; all-copies is the conservative policy the paper also
+    evaluates.
+
+    Scale shape: spans are disjoint per doc (maximal runs), so the cut
+    positions explode to at most |span tokens| rows with no dedup
+    pass; the kill-list anti-join keys on (doc_id, pos) — uniform,
+    8+8 bytes; the rebuild is one partial-agg-free groupBy(doc_id)
+    whose collect_list is bounded by the document length (the same
+    per-row bound the gram arrays already carry)."""
+    if spans is None:
+        spans = dup_span_runs(docs, l=l, min_count=min_count)
+    kill = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    toks = (
+        docs.select("doc_id", F.expr(SQL_TOKENS).alias("_toks"))
+        .select(
+            "doc_id",
+            F.posexplode_outer("_toks").alias("pos0", "term"),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term"
+        )
+    )
+    kept = toks.join(kill, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, term))),"
+                   " x -> x.term)"),
+            " ",
+        ).alias("clean_text"),
+        F.count("term").cast("long").alias("n_kept"),
+    )
+    # left join keeps empty/fully-cut docs; n_tokens from the source
+    n_tok = docs.select(
+        "doc_id", F.size(F.expr(SQL_TOKENS)).cast("long").alias("n_tokens")
+    )
+    return (
+        n_tok.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )

@@ -265,3 +265,122 @@ def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
             f" 1, 15), 16, 10) as bigint)))"
         ).alias("fp"),
     )
+
+
+GOPHER_TOP_NS = (2, 3)
+GOPHER_DUP_NS = (5, 8)
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1): per document, the
+    character fraction covered by the single most frequent word
+    {2,3}-gram (``top{n}_char_frac``) and the character fraction inside
+    ALL occurrences of duplicated word {5,8}-grams
+    (``dup{n}_char_frac`` — overlaps double-count, per the paper;
+    values may exceed 1 on pathological repetition).  Characters are
+    measured on the space-joined token stream so both engines count
+    identically; the most-frequent gram tie-breaks deterministically by
+    (count, gram length, gram text) descending.
+
+    Scale shape: every key in the chain starts with doc_id, so ONE
+    up-front repartition of the raw documents (shuffle volume = corpus
+    text, the minimum possible) makes all three aggregation levels
+    partition-local — gram TEXT (≈18× token volume across the four n)
+    never shuffles.  The n-gram relations assemble in-row (transform
+    consumed once by the explode) and union into one exploded stream;
+    the per-doc metric needs no cross-document state, so this
+    pipelines at any corpus size."""
+    ns = (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
+    # EXPLICIT partition count: repartition("doc_id") alone lets AQE
+    # coalesce by the (tiny) raw-doc byte size — measured 1 partition
+    # at sf0.1, which serialized the 1M-row gram explode downstream of
+    # the exchange onto one core (10 s vs 2 s).  The stage is
+    # CPU-bound on exploded rows, not input bytes, so size it to the
+    # cluster's cores; explicit counts are not AQE-coalesced.
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, "doc_id")
+
+    def gram_arr(n: int) -> str:
+        # array_join(slice(...)) = 2 interpreted nodes per gram vs the
+        # n+2 of a concat_ws(element_at...) chain — the lambda body is
+        # interpreted (HOF), so node count is the constant that matters
+        # (measured 4.6× cold / parity warm at sf0.1)
+        return (
+            f"CASE WHEN size(_toks) >= {n} THEN "
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" j -> struct({n} AS n,"
+            f" array_join(slice(_toks, j, {n}), ' ') AS gram)) "
+            "ELSE array() END"
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.expr(SQL_TOKENS).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.length(F.concat_ws(" ", F.col("_toks"))).cast("long").alias(
+            "denom"
+        ),
+        F.explode_outer(
+            F.concat(*[F.expr(gram_arr(n)) for n in ns])
+        ).alias("g"),
+    )
+    cnt = (
+        base.groupBy(
+            "doc_id", "denom", F.col("g.n").alias("n"),
+            F.col("g.gram").alias("gram")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    # argmax by (count DESC, gram length DESC) packs losslessly into
+    # ONE integer max — c*2^24 + len — because the text tie-break
+    # (needed only for a deterministic WINNER) cannot change the
+    # reported c*len when (c, len) tie; this keeps the aggregate in
+    # whole-stage codegen with no gram strings in agg buffers and no
+    # interpreted struct comparisons
+    per_n = (
+        cnt.groupBy("doc_id", "denom", "n")
+        .agg(
+            F.max(
+                F.col("c") * F.lit(1 << 24).cast("long")
+                + F.length("gram")
+            ).alias("tv"),
+            F.sum(
+                F.when(
+                    F.col("c") >= 2, F.col("c") * F.length("gram")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("dup_chars"),
+        )
+        .select(
+            "doc_id", "denom", "n",
+            F.expr(
+                "shiftright(tv, 24) * (tv & 16777215)"
+            ).alias("top_chars"),
+            "dup_chars",
+        )
+    )
+
+    def frac(x):
+        return F.when(
+            F.col("denom") > 0, F.round(x / F.col("denom"), 6)
+        ).otherwise(F.lit(0.0))
+
+    agg = [
+        frac(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_chars"))),
+                F.lit(0),
+            )
+        ).alias(f"top{n}_char_frac")
+        for n in GOPHER_TOP_NS
+    ] + [
+        frac(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_chars"))),
+                F.lit(0),
+            )
+        ).alias(f"dup{n}_char_frac")
+        for n in GOPHER_DUP_NS
+    ]
+    return per_n.groupBy("doc_id", "denom").agg(*agg).drop("denom")

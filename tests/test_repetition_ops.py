@@ -1,0 +1,131 @@
+"""Hand-computed semantics for the r6 repetition operators: exact
+substring dedup spans (dedup.dup_span_runs — Lee et al. 2022 analog)
+and Gopher repetition signals (textstats.gopher_repetition — Rae et
+al. 2021 table A1 analog).  The DuckDB oracle gate
+(test_driver_contract) checks engine parity; these pin the SEMANTICS
+against worked examples so both engines can't drift together."""
+
+from __future__ import annotations
+
+import pytest
+
+from lean_explore_spark.operators import dedup as D
+from lean_explore_spark.operators import textstats as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = "w{} "  # distinct filler tokens
+
+
+def _seq(lo, n):
+    return " ".join(f"w{i}" for i in range(lo, lo + n))
+
+
+def test_cross_doc_span_found_and_maximal(spark):
+    # docs 1 and 2 share tokens 100..111 (12 tokens) embedded in
+    # otherwise-unique streams -> one maximal span each: 5 dup 8-grams
+    # merged into a single run of 12 tokens
+    shared = _seq(100, 12)
+    rows = [
+        (1, _seq(0, 10) + " " + shared + " " + _seq(200, 10)),
+        (2, _seq(300, 10) + " " + shared + " " + _seq(400, 10)),
+    ]
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in D.dup_span_runs(_docs(spark, rows)).collect()
+    }
+    # span = positions 11..22 in both docs (1-based), 12-5+1=5 grams...
+    # 12 tokens hold 12-8+1 = 5 overlapping 8-grams
+    assert got == {(1, 11, 22, 5), (2, 11, 22, 5)}
+
+
+def test_self_repeat_counts_and_runs_split(spark):
+    # one doc, the same 8 tokens twice in a row with a unique wedge:
+    # the 8-gram at pos 1 equals the one at pos 10; bridging grams
+    # appear once -> TWO spans, not one merged run
+    block = _seq(0, 8)
+    rows = [(7, block + " wX " + block)]
+    got = sorted(
+        (r.span_start, r.span_end, r.n_grams)
+        for r in D.dup_span_runs(_docs(spark, rows)).collect()
+    )
+    assert got == [(1, 8, 1), (10, 17, 1)]
+
+
+def test_below_length_and_unique_docs_emit_nothing(spark):
+    rows = [
+        (1, _seq(0, 7)),          # shorter than l=8: no grams at all
+        (2, _seq(500, 40)),       # unique content: no hot grams
+    ]
+    assert D.dup_span_runs(_docs(spark, rows)).count() == 0
+
+
+def test_cut_dup_spans_all_copies(spark):
+    # both docs lose the shared 12-token span (all-copies policy);
+    # the rebuilt text is the surviving token stream in order
+    shared = _seq(100, 12)
+    rows = [
+        (1, _seq(0, 10) + " " + shared + " " + _seq(200, 10)),
+        (2, _seq(300, 10) + " " + shared + " " + _seq(400, 10)),
+        (3, _seq(900, 9)),  # unique doc passes through untouched
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in D.cut_dup_spans(_docs(spark, rows)).collect()
+    }
+    assert got[1] == (_seq(0, 10) + " " + _seq(200, 10), 12)
+    assert got[2] == (_seq(300, 10) + " " + _seq(400, 10), 12)
+    assert got[3] == (_seq(900, 9), 0)
+
+
+def test_cut_dup_spans_degenerate_and_total_cut(spark):
+    # identical 8-token docs are cut to nothing; empty doc survives
+    block = _seq(0, 8)
+    rows = [(1, block), (2, block), (3, "")]
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in D.cut_dup_spans(_docs(spark, rows)).collect()
+    }
+    assert got == {1: ("", 8), 2: ("", 8), 3: ("", 0)}
+
+
+def test_gopher_hand_example(spark):
+    # "aa aa aa bb": 2-grams = [aa aa]x2, [aa bb]x1 -> top2 = 2*5=10
+    # chars over denom len("aa aa aa bb")=11; 3-grams = [aa aa aa]x1,
+    # [aa aa bb]x1 -> tie on count, longer... equal length 8, text
+    # tie-break DESC picks "aa aa bb" -> 8/11; no 5- or 8-grams.
+    rows = [(1, "aa aa aa bb")]
+    r = T.gopher_repetition(_docs(spark, rows)).collect()[0]
+    assert r.doc_id == 1
+    assert r.top2_char_frac == pytest.approx(round(10 / 11, 6))
+    assert r.top3_char_frac == pytest.approx(round(8 / 11, 6))
+    assert r.dup5_char_frac == 0.0
+    assert r.dup8_char_frac == 0.0
+
+
+def test_gopher_dup_fraction_double_counts_overlaps(spark):
+    # 10 copies of the same token: every 5-gram ("c c c c c", len 9)
+    # occurs 6 times -> dup5 = 6*9 / len("c ... c"=19) ; dup8: 3
+    # occurrences of the 15-char 8-gram -> 45/19 > 1 (documented
+    # overlap double-counting, as in the paper)
+    rows = [(3, " ".join(["c"] * 10))]
+    r = T.gopher_repetition(_docs(spark, rows)).collect()[0]
+    assert r.dup5_char_frac == pytest.approx(round(6 * 9 / 19, 6))
+    assert r.dup8_char_frac == pytest.approx(round(3 * 15 / 19, 6))
+    assert r.top2_char_frac == pytest.approx(round(9 * 3 / 19, 6))
+
+
+def test_gopher_degenerate_docs_null_free(spark):
+    # 0 tokens and 1 token: all fractions 0.0, rows retained, no NULLs
+    rows = [(1, ""), (2, "solo"), (3, "!!!")]
+    out = T.gopher_repetition(_docs(spark, rows)).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3}
+    for r in out:
+        for c in (
+            "top2_char_frac", "top3_char_frac",
+            "dup5_char_frac", "dup8_char_frac",
+        ):
+            assert getattr(r, c) == 0.0, (r.doc_id, c)
