@@ -491,6 +491,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_cut": lambda s, d: D.cut_dup_spans(
             _docs(s, d), spans=_dup_spans(s, d)
         ),
+        # keep-first policy (the paper's default): first occurrence of
+        # each distinct span text survives, later copies are cut
+        "dup_spans_keep_first": lambda s, d: D.cut_dup_spans(
+            _docs(s, d), spans=_dup_spans(s, d), keep="first"
+        ),
         # similarity / ANN
         "cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d), QUERY_VEC_ID),
         "lsh_buckets": lambda s, d: S.rp_lsh_buckets(_emb(s, d)),
@@ -899,6 +904,66 @@ ptok2 AS (
 kill AS (
   SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
   FROM spans
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.term
+  FROM ptok2 p LEFT JOIN kill k
+    ON k.doc_id = p.doc_id AND k.pos = p.pos
+  WHERE k.pos IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\w+')) AS n_tokens
+  FROM documents
+)
+SELECT nt.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(nt.n_tokens - coalesce(reb.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens
+FROM nt LEFT JOIN reb ON reb.doc_id = nt.doc_id
+"""
+
+# keep-first span cut (the Lee et al. DEFAULT policy): rank span
+# occurrences per distinct span TEXT by (doc_id, span_start); only
+# rn > 1 occurrences join the kill list.  The oracle partitions by the
+# span text itself (hash-free); the Spark side windows over the
+# md5-int span key — identical groups barring an in-corpus collision
+_DUP_SPANS_KEEP_FIRST_SQL = r"""
+WITH spans AS (""" + _DUP_SPANS_SQL + r"""),
+tl2 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+),
+keyed AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         array_to_string(
+           list_slice(t.toks, s.span_start, s.span_end), ' '
+         ) AS span_text
+  FROM spans s JOIN tl2 t ON t.doc_id = s.doc_id
+),
+cutspans AS (
+  SELECT doc_id, span_start, span_end
+  FROM (
+    SELECT doc_id, span_start, span_end,
+           row_number() OVER (
+             PARTITION BY span_text ORDER BY doc_id, span_start
+           ) AS rn
+    FROM keyed
+  ) WHERE rn > 1
+),
+ptok2 AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM tl2
+),
+kill AS (
+  SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+  FROM cutspans
 ),
 kept AS (
   SELECT p.doc_id, p.pos, p.term
@@ -1825,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "dup_spans_cut": _DUP_SPANS_CUT_SQL,
+        "dup_spans_keep_first": _DUP_SPANS_KEEP_FIRST_SQL,
         "jaccard_refined": _JACCARD_REFINED_SQL,
         "dedup_clusters": _DUP_CLUSTERS_SQL,
         "dedup_canonical": _DEDUP_CANONICAL_SQL,

@@ -106,6 +106,14 @@ def _shingle_int(col: str = "shingle"):
     return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
 
 
+def _shingle_int_expr(expr: str):
+    """Same md5→60-bit-int collapse over an arbitrary SQL expression
+    (string) instead of a named column."""
+    return F.conv(
+        F.substring(F.md5(F.expr(expr)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
@@ -668,29 +676,54 @@ def dup_span_runs(
 
 def cut_dup_spans(
     docs: DataFrame, l: int = 8, min_count: int = 2,
-    spans: DataFrame | None = None,
+    spans: DataFrame | None = None, keep: str = "none",
 ) -> DataFrame:
     """The corpus-cleaning payoff of :func:`dup_span_runs` (Lee et al.
-    2022 ExactSubstr removal, all-copies policy): excise every token
-    covered by a duplicated span and rebuild the document from its
-    surviving token stream.  Returns (doc_id, clean_text,
-    n_removed_tokens); documents with no duplicated spans pass through
-    with ``n_removed_tokens = 0``.  ``clean_text`` is the space-joined
-    TOKEN stream (lowercased, punctuation-free) — the shape a training
-    pipeline tokenizes anyway; original formatting is already gone at
-    this stage by design.  The keep-one-canonical-occurrence variant
-    needs a global ordering over equal-text spans and is documented
-    future work; all-copies is the conservative policy the paper also
-    evaluates.
+    2022 ExactSubstr removal): excise tokens covered by duplicated
+    spans and rebuild each document from its surviving token stream.
+    ``keep="none"`` (conservative) cuts EVERY occurrence;
+    ``keep="first"`` (the paper's default policy) keeps the globally
+    first occurrence of each DISTINCT duplicated span text — ordered
+    by (doc_id, span_start) — and cuts the rest.  Returns (doc_id,
+    clean_text, n_removed_tokens); documents with no cut spans pass
+    through with ``n_removed_tokens = 0``.  ``clean_text`` is the
+    space-joined TOKEN stream (lowercased, punctuation-free) — the
+    shape a training pipeline tokenizes anyway; original formatting is
+    already gone at this stage by design.  Note partially-overlapping
+    repeats yield different maximal spans (different texts), so each
+    text group keeps its own first occurrence — the standard
+    ExactSubstr behavior.
 
     Scale shape: spans are disjoint per doc (maximal runs), so the cut
     positions explode to at most |span tokens| rows with no dedup
     pass; the kill-list anti-join keys on (doc_id, pos) — uniform,
     8+8 bytes; the rebuild is one partial-agg-free groupBy(doc_id)
     whose collect_list is bounded by the document length (the same
-    per-row bound the gram arrays already carry)."""
+    per-row bound the gram arrays already carry).  keep="first" adds
+    one doc_id join to recover span text plus one window over the
+    md5-int span key (8-byte shuffle; span text never shuffles) —
+    span-count-sized relations, tiny next to the corpus."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep policy {keep!r}")
     if spans is None:
         spans = dup_span_runs(docs, l=l, min_count=min_count)
+    if keep == "first":
+        from pyspark.sql import Window
+
+        toks0 = docs.select("doc_id", F.expr(SQL_TOKENS).alias("_toks"))
+        keyed = spans.join(toks0, "doc_id").select(
+            "doc_id", "span_start", "span_end",
+            _shingle_int_expr(
+                "array_join(slice(_toks, cast(span_start as int),"
+                " cast(span_end - span_start + 1 as int)), ' ')"
+            ).alias("span_key"),
+        )
+        w = Window.partitionBy("span_key").orderBy("doc_id", "span_start")
+        spans = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") > 1)
+            .select("doc_id", "span_start", "span_end")
+        )
     kill = spans.select(
         "doc_id",
         F.explode(

@@ -92,6 +92,34 @@ def test_cut_dup_spans_degenerate_and_total_cut(spark):
     assert got == {1: ("", 8), 2: ("", 8), 3: ("", 0)}
 
 
+def test_cut_keep_first_preserves_one_copy(spark):
+    # keep="first": doc 1 (lowest doc_id) keeps the shared span, doc 2
+    # loses it; the unique doc is untouched
+    shared = _seq(100, 12)
+    rows = [
+        (1, _seq(0, 10) + " " + shared),
+        (2, _seq(300, 10) + " " + shared),
+        (3, _seq(900, 9)),
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in D.cut_dup_spans(_docs(spark, rows), keep="first").collect()
+    }
+    assert got[1] == (_seq(0, 10) + " " + shared, 0)
+    assert got[2] == (_seq(300, 10), 12)
+    assert got[3] == (_seq(900, 9), 0)
+
+
+def test_cut_keep_first_self_repeat_keeps_earliest(spark):
+    # identical 8-token block twice within ONE doc: the pos-1 copy
+    # survives, the pos-10 copy is cut
+    block = _seq(0, 8)
+    rows = [(5, block + " wX " + block)]
+    r = D.cut_dup_spans(_docs(spark, rows), keep="first").collect()[0]
+    # clean_text is the lowercased token stream ("wX" -> "wx")
+    assert (r.clean_text, r.n_removed_tokens) == (block + " wx", 8)
+
+
 def test_gopher_hand_example(spark):
     # "aa aa aa bb": 2-grams = [aa aa]x2, [aa bb]x1 -> top2 = 2*5=10
     # chars over denom len("aa aa aa bb")=11; 3-grams = [aa aa aa]x1,
