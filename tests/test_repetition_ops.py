@@ -120,6 +120,60 @@ def test_cut_keep_first_self_repeat_keeps_earliest(spark):
     assert (r.clean_text, r.n_removed_tokens) == (block + " wx", 8)
 
 
+def test_keep_first_narrow_key_collision_cuts_wide_key_rescues(spark):
+    """Pin the collision-silence story of the keep-first span key
+    (VERDICT r6 #3).  At the production 60-bit width, md5 preimages
+    aren't craftable in a unit test, so ``_key_hex_chars=1`` narrows
+    the key to 4 bits (16 buckets): 40 DISTINCT duplicated span texts
+    then guarantee colliding keys by pigeonhole.  A collision falsely
+    merges two distinct span texts into one keep-first group, so a
+    span's FIRST occurrence (which text-keyed truth keeps) is cut —
+    strictly more tokens removed than truth.  ``wide_keys=True`` adds
+    a second independent 60-bit column and must restore the
+    text-keyed result exactly, at the same narrow first column."""
+    rows = []
+    for i in range(40):
+        span = _seq(10_000 + 100 * i, 12)  # distinct 12-token spans
+        rows.append((i + 1, _seq(100_000 + 100 * i, 10) + " " + span))
+        rows.append((i + 101, _seq(200_000 + 100 * i, 10) + " " + span))
+    docs = _docs(spark, rows)
+
+    def removed(**kw):
+        out = D.cut_dup_spans(docs, keep="first", **kw).collect()
+        return (
+            sum(r.n_removed_tokens for r in out),
+            {r.doc_id: r.clean_text for r in out},
+        )
+
+    truth_n, truth_text = removed()  # 60-bit default: exact here
+    assert truth_n == 40 * 12  # each span cut once (the doc>=101 copy)
+    narrow_n, _ = removed(_key_hex_chars=1)
+    assert narrow_n > truth_n  # >=1 forced collision cut a 1st copy
+    wide_n, wide_text = removed(_key_hex_chars=1, wide_keys=True)
+    assert (wide_n, wide_text) == (truth_n, truth_text)
+
+
+def test_keep_first_wide_keys_match_default(spark):
+    # on an ordinary corpus the wide key is a pure widening: byte-equal
+    # output to the default 60-bit key
+    shared = _seq(100, 12)
+    rows = [
+        (1, _seq(0, 10) + " " + shared),
+        (2, _seq(300, 10) + " " + shared),
+        (3, _seq(900, 9)),
+    ]
+    docs = _docs(spark, rows)
+    a = sorted(
+        D.cut_dup_spans(docs, keep="first").collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        D.cut_dup_spans(docs, keep="first", wide_keys=True).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_gopher_hand_example(spark):
     # "aa aa aa bb": 2-grams = [aa aa]x2, [aa bb]x1 -> top2 = 2*5=10
     # chars over denom len("aa aa aa bb")=11; 3-grams = [aa aa aa]x1,
