@@ -517,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: T.quality_score(_docs(s, d)),
         # Gopher repetition signals (Rae et al. 2021 table A1)
         "gopher_repetition": lambda s, d: T.gopher_repetition(_docs(s, d)),
+        # Gopher document-quality rule battery (same table, r7)
+        "gopher_quality": lambda s, d: T.gopher_quality(_docs(s, d)),
         "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
         # relational operator classes
@@ -1057,6 +1059,62 @@ FROM base b
 LEFT JOIN topn t ON t.doc_id = b.doc_id
 LEFT JOIN dupn d ON d.doc_id = b.doc_id
 GROUP BY b.doc_id, b.denom
+"""
+
+# Gopher quality rule battery (r7): signals + pass flag, evaluated on
+# the same 6dp-rounded values as the Spark side so boundary docs can't
+# split engines; bounds and the stop list come verbatim from
+# textstats.GOPHER_* constants.
+_GQ_STOPS = ", ".join(f"'{w}'" for w in T.GOPHER_STOP_WORDS)
+_GOPHER_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+         w -> w <> '')) AS BIGINT) AS n_words,
+    length(regexp_replace(text, '\s', '', 'g')) AS wc,
+    len(list_filter(list_filter(regexp_split_to_array(text, '\s+'),
+        w -> w <> ''), w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
+    len(string_split(text, chr(10))) AS nl,
+    len(list_filter(string_split(text, chr(10)),
+        l -> list_contains(['•','-','*'], substr(ltrim(l), 1, 1)))) AS bl,
+    len(list_filter(string_split(text, chr(10)),
+        l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+      AS el,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '…', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3 AS sym,
+    CAST(len(list_intersect(regexp_extract_all(lower(text), '\w+'),
+         [{_GQ_STOPS}])) AS BIGINT) AS n_stop_hits
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+    round(CASE WHEN n_words > 0 THEN wc / n_words ELSE 0.0 END, 6)
+      AS mean_word_len,
+    round(CASE WHEN n_words > 0 THEN sym / n_words ELSE 0.0 END, 6)
+      AS symbol_word_ratio,
+    round(CASE WHEN nl > 0 THEN bl / nl ELSE 0.0 END, 6)
+      AS bullet_line_frac,
+    round(CASE WHEN nl > 0 THEN el / nl ELSE 0.0 END, 6)
+      AS ellipsis_line_frac,
+    round(CASE WHEN n_words > 0 THEN aw / n_words ELSE 0.0 END, 6)
+      AS alpha_word_frac,
+    n_stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+  CAST(CASE WHEN n_words >= {T.GOPHER_MIN_WORDS}
+    AND n_words <= {T.GOPHER_MAX_WORDS}
+    AND mean_word_len >= {T.GOPHER_MIN_MEAN_WORD_LEN}
+    AND mean_word_len <= {T.GOPHER_MAX_MEAN_WORD_LEN}
+    AND symbol_word_ratio <= {T.GOPHER_MAX_SYMBOL_RATIO}
+    AND bullet_line_frac <= {T.GOPHER_MAX_BULLET_FRAC}
+    AND ellipsis_line_frac <= {T.GOPHER_MAX_ELLIPSIS_FRAC}
+    AND alpha_word_frac >= {T.GOPHER_MIN_ALPHA_FRAC}
+    AND n_stop_hits >= {T.GOPHER_MIN_STOP_HITS}
+    THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM m
 """
 
 # similarity ------------------------------------------------------------
@@ -1901,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
         "gopher_repetition": _GOPHER_SQL,
+        "gopher_quality": _GOPHER_QUALITY_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

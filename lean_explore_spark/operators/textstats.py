@@ -270,6 +270,114 @@ def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
 GOPHER_TOP_NS = (2, 3)
 GOPHER_DUP_NS = (5, 8)
 
+# Gopher document-quality rule constants (Rae et al. 2021, table A1).
+# Shared verbatim with the DuckDB oracle and the crafted-case tests so
+# a bound can't drift between engines.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher document-quality filter battery (Rae et al. 2021 table
+    A1 — the non-repetition rules; repetition lives in
+    :func:`gopher_repetition`): per document the raw signals, each
+    rounded 6dp, plus ``gopher_pass`` (1 iff every rule holds,
+    evaluated on the ROUNDED values so both engines agree at the
+    boundary):
+
+    - ``n_words`` in [50, 100000] — whitespace-split word count
+    - ``mean_word_len`` in [3, 10] — non-whitespace chars / words
+    - ``symbol_word_ratio`` <= 0.1 — '#' chars + unicode ellipsis +
+      non-overlapping '...' runs, per word
+    - ``bullet_line_frac`` <= 0.9 — lines whose first non-space char
+      is a bullet ('•', '-', '*')
+    - ``ellipsis_line_frac`` <= 0.3 — lines ending (after rtrim) with
+      '…' or '...'
+    - ``alpha_word_frac`` >= 0.8 — words containing [A-Za-z]
+    - ``n_stop_hits`` >= 2 — DISTINCT members of the paper's stop list
+      present among the lowercased word tokens
+
+    Scale shape: ONE narrow whole-row projection — zero shuffle, zero
+    joins; at 100 TB this pipelines at scan speed.  The word/line
+    arrays are assembled by interpreted HOF lambdas, but each is a
+    2-node body over an array consumed a handful of times (the cheap
+    single-digit-node case of the CLAUDE.md HOF rule — the 30x trap
+    was a 16-way md5 fold, not splits); symbol and word-char counts
+    use replace()/regexp_replace() length arithmetic, no HOF at all."""
+    words = r"filter(split(text, '\\s+'), w -> w <> '')"
+    lines = "split(text, '\n')"
+    stop_list = ",".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+    raw = docs.select(
+        "doc_id",
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(r"length(regexp_replace(text, '\\s', ''))").alias("_wc"),
+        F.expr(
+            f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+        ).alias("_aw"),
+        F.expr(f"size({lines})").alias("_nl"),
+        F.expr(
+            f"size(filter({lines},"
+            " l -> substring(ltrim(l), 1, 1) IN ('•','-','*')))"
+        ).alias("_bl"),
+        F.expr(
+            f"size(filter({lines}, l -> endswith(rtrim(l), '...')"
+            " OR endswith(rtrim(l), '…')))"
+        ).alias("_el"),
+        (
+            F.expr("length(text) - length(replace(text, '#', ''))")
+            + F.expr("length(text) - length(replace(text, '…', ''))")
+            + F.expr(
+                "(length(text) - length(replace(text, '...', ''))) div 3"
+            )
+        ).alias("_sym"),
+        F.expr(
+            f"size(array_intersect({SQL_TOKENS}, array({stop_list})))"
+        ).cast("long").alias("n_stop_hits"),
+    )
+
+    def per_word(x):
+        return F.when(
+            F.col("n_words") > 0, F.round(x / F.col("n_words"), 6)
+        ).otherwise(F.lit(0.0))
+
+    def per_line(x):
+        return F.when(
+            F.col("_nl") > 0, F.round(x / F.col("_nl"), 6)
+        ).otherwise(F.lit(0.0))
+
+    m = raw.select(
+        "doc_id",
+        "n_words",
+        per_word(F.col("_wc")).alias("mean_word_len"),
+        per_word(F.col("_sym")).alias("symbol_word_ratio"),
+        per_line(F.col("_bl")).alias("bullet_line_frac"),
+        per_line(F.col("_el")).alias("ellipsis_line_frac"),
+        per_word(F.col("_aw")).alias("alpha_word_frac"),
+        "n_stop_hits",
+    )
+    ok = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return m.withColumn(
+        "gopher_pass", F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+
 
 def gopher_repetition(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, "Scaling

@@ -200,6 +200,82 @@ def test_gopher_dup_fraction_double_counts_overlaps(spark):
     assert r.top2_char_frac == pytest.approx(round(9 * 3 / 19, 6))
 
 
+def test_gopher_quality_hand_example(spark):
+    # 60 words, all rules satisfied: mean word len in [3,10], no
+    # symbols/bullets/ellipses, fully alphabetic, 3 distinct stop words
+    good = " ".join(
+        ["the", "cat", "and", "dog", "that", "runs"] * 10
+    )
+    r = {
+        x.doc_id: x
+        for x in T.gopher_quality(_docs(spark, [(1, good)])).collect()
+    }[1]
+    assert r.n_words == 60
+    # chars: (3+3+3+3+4+4)*10 = 200 over 60 words
+    assert r.mean_word_len == pytest.approx(round(200 / 60, 6))
+    assert r.symbol_word_ratio == 0.0
+    assert r.bullet_line_frac == 0.0
+    assert r.ellipsis_line_frac == 0.0
+    assert r.alpha_word_frac == 1.0
+    assert r.n_stop_hits == 3  # the, and, that (distinct)
+    assert r.gopher_pass == 1
+
+
+def test_gopher_quality_each_rule_fails_independently(spark):
+    base_words = ["the", "cat", "and", "dog", "that", "runs"] * 10
+    good = " ".join(base_words)
+    rows = [
+        (1, good),                              # pass
+        (2, " ".join(base_words[:30])),         # 30 words < 50
+        (3, " ".join(["ab"] * 25 + ["the", "and"] * 13)),  # mwl < 3
+        (4, good + " " + "# " * 7),             # 7 symbols / 67 words > 0.1
+        (5, "• " + good.replace(" cat ", "\n• cat ")),  # all lines bulleted
+        (6, good.replace(" runs", " runs...\n") + "tail"),  # ellipsis lines
+        (7, " ".join(["123", "456"] * 30 + ["the", "and"] * 5)),  # alpha<0.8
+        (8, " ".join(["cat", "dog", "run", "sit"] * 15)),  # 0 stop hits
+    ]
+    out = {
+        r.doc_id: r for r in T.gopher_quality(_docs(spark, rows)).collect()
+    }
+    assert out[1].gopher_pass == 1
+    assert out[2].gopher_pass == 0 and out[2].n_words == 30
+    assert out[3].gopher_pass == 0 and out[3].mean_word_len < 3.0
+    assert out[4].gopher_pass == 0 and out[4].symbol_word_ratio > 0.1
+    assert out[5].gopher_pass == 0 and out[5].bullet_line_frac > 0.9
+    assert out[6].gopher_pass == 0 and out[6].ellipsis_line_frac > 0.3
+    assert out[7].gopher_pass == 0 and out[7].alpha_word_frac < 0.8
+    assert out[8].gopher_pass == 0 and out[8].n_stop_hits == 0
+
+
+def test_gopher_quality_symbol_and_line_counting(spark):
+    # symbols: 2 '#' + 1 '…' + 1 '...' (5 dots = one non-overlapping
+    # run + 2 leftovers) = 4 over 8 words; lines: 4 total, 2 bulleted
+    # ('-' and '*'), 1 ellipsis-ended ('…' after rtrim)
+    text = "alpha # beta ## gamma ..... delta …\n- one\n* two\nthree … "
+    r = T.gopher_quality(_docs(spark, [(9, text)])).collect()
+    row = {x.doc_id: x for x in r}[9]
+    # words: alpha,#,beta,##,gamma,.....,delta,…,-,one,*,two,three,…
+    assert row.n_words == 14
+    assert row.symbol_word_ratio == pytest.approx(round((3 + 2 + 1) / 14, 6))
+    assert row.bullet_line_frac == pytest.approx(0.5)
+    assert row.ellipsis_line_frac == pytest.approx(0.5)
+    assert row.gopher_pass == 0
+
+
+def test_gopher_quality_degenerate_null_free(spark):
+    out = T.gopher_quality(
+        _docs(spark, [(1, ""), (2, "   "), (3, "solo")])
+    ).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3}
+    for r in out:
+        assert r.gopher_pass == 0
+        for c in (
+            "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac",
+        ):
+            assert getattr(r, c) is not None, (r.doc_id, c)
+
+
 def test_gopher_degenerate_docs_null_free(spark):
     # 0 tokens and 1 token: all fractions 0.0, rows retained, no NULLs
     rows = [(1, ""), (2, "solo"), (3, "!!!")]
