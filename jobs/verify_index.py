@@ -80,17 +80,90 @@ def verify(spark, index_dir: str) -> dict:
     return {"ok": not mismatches, "shards": len(got), "mismatches": mismatches}
 
 
+def verify_segments(spark, index_root: str) -> dict:
+    """Segment-root fsck (VERDICT r6 #8): run the per-shard payload-
+    fingerprint check on EVERY manifest-live segment (each segment dir
+    is a full index layout with its own commit manifest) plus the base
+    index when present, and cross-check each segment's stats.json
+    doc count against the forward store actually on disk.  The
+    authority for which segments exist is segments/MANIFEST.json —
+    never a seg=* glob (CLAUDE.md invariant); unregistered seg= dirs
+    are reported informationally (out-of-band builds that never called
+    register_segment), not failed.
+
+    Returns {"ok": bool, "segments": N, "results": {name: {...}},
+    "unregistered": [names]}; ok requires every live segment (and
+    base) to pass."""
+    from lean_explore_spark.streaming.incremental import live_segments
+
+    root = Path(index_root)
+    seg_root = root / "segments"
+    live = live_segments(root)
+    results: dict = {}
+    for name in live:
+        d = seg_root / name
+        if not (d / "stats.json").exists():
+            results[name] = {
+                "ok": False,
+                "error": "live segment missing on disk (or no stats.json)",
+            }
+            continue
+        r = verify(spark, str(d))
+        n_docs_stats = json.loads((d / "stats.json").read_text())["n_docs"]
+        n_docs_fwd = spark.read.parquet(str(d / "forward")).count()
+        if n_docs_fwd != n_docs_stats:
+            r["ok"] = False
+            r["mismatches"].append(
+                {
+                    "field": "n_docs",
+                    "stats_json": int(n_docs_stats),
+                    "forward": int(n_docs_fwd),
+                }
+            )
+        results[name] = r
+    if (root / "base" / "stats.json").exists():
+        results["base"] = verify(spark, str(root / "base"))
+    unregistered = (
+        sorted(
+            p.name
+            for p in seg_root.iterdir()
+            if p.is_dir()
+            and p.name.startswith("seg=")
+            and p.name not in set(live)
+        )
+        if seg_root.exists()
+        else []
+    )
+    return {
+        "ok": all(r.get("ok") for r in results.values()),
+        "segments": len(live),
+        "results": results,
+        "unregistered": unregistered,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--segments",
+        action="store_true",
+        help="treat --index as a segmented index root: fsck every "
+        "manifest-live segment (and base) instead of one monolithic "
+        "index",
+    )
     args = ap.parse_args()
     spark = get_spark(
         app_name="verify_index",
         master=f"local[{args.cpus}]" if args.cpus else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out = verify(spark, args.index)
+    out = (
+        verify_segments(spark, args.index)
+        if args.segments
+        else verify(spark, args.index)
+    )
     print(json.dumps(out))
     if not out["ok"]:
         sys.exit(1)

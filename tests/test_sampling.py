@@ -119,9 +119,11 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
     c = out["counts"]
     seq = [
         c["input"], c["after_quality"], c["after_exact_dedup"],
-        c["after_near_dedup"], c["after_sampling"],
+        c["after_near_dedup"], c["after_gopher"], c["after_span_cut"],
+        c["after_sampling"],
     ]
     assert seq == sorted(seq, reverse=True)
+    assert c["span_removed_tokens"] >= 0
     assert c["after_sampling"] > 0
     assert out["index"]["n_docs"] == c["after_sampling"]
     eng = SearchEngine(spark, str(tmp_path / "pidx"), preload=True)
@@ -191,13 +193,17 @@ def test_pipeline_demo_single_pass(spark, tmp_path):
     finally:
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("pipeline_single_pass")
-    # measured on sf0.001: 44 jobs single-pass (cache pass + pair
-    # probe + builder stages + AQE sub-jobs) vs 143 with the old
-    # per-stage .count() actions — the bound sits between the regimes
-    assert 0 < len(jobs) <= 70, len(jobs)
+    # measured on sf0.001: 67 jobs with the r7 Gopher-filter +
+    # span-cut stages (two deliberate materializations + pair probe +
+    # builder stages + AQE sub-jobs); 44 before those stages existed;
+    # 143 with the old per-stage .count() actions — the bound sits
+    # between the current regime and count-per-stage
+    assert 0 < len(jobs) <= 100, len(jobs)
     # (c) no leaked cache: everything the pipeline persisted is gone
     assert D._persistent_rdd_ids(sc) <= rdds_before
-    # (b) counts equal independent recomputation
+    # (b) counts equal independent recomputation, stage by stage
+    from pipeline_demo import DEFAULT_REPETITION_CAPS
+
     c = out["counts"]
     assert c["input"] == docs.count()
     lang = T.lang_id(docs).select("doc_id", F.col("pred_lang").alias("lang"))
@@ -208,11 +214,70 @@ def test_pipeline_demo_single_pass(spark, tmp_path):
     winners = D.exact_dup_groups(staged).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
-    staged = staged.join(winners, "doc_id")
-    assert c["after_exact_dedup"] == staged.count()
-    pairs = D.jaccard_refined_pairs(staged).select("doc_a", "doc_b")
-    staged = D.canonicalize(staged, pairs)
+    deduped = staged.join(winners, "doc_id")
+    assert c["after_exact_dedup"] == deduped.count()
+    pairs = D.jaccard_refined_pairs(deduped).select("doc_a", "doc_b")
+    staged = D.canonicalize(deduped, pairs)
     assert c["after_near_dedup"] == staged.count()
+    cond = None
+    for col, cap in sorted(DEFAULT_REPETITION_CAPS.items()):
+        x = F.col(col) <= F.lit(cap)
+        cond = x if cond is None else (cond & x)
+    rep_ok = T.gopher_repetition(deduped).where(cond).select("doc_id")
+    staged = staged.join(rep_ok, "doc_id")
+    assert c["after_gopher"] == staged.count()
+    cut = D.cut_dup_spans(staged.select("doc_id", "text"), keep="first")
+    assert c["span_removed_tokens"] == (
+        cut.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0
+    )
+    staged = (
+        staged.select("doc_id", "lang")
+        .join(cut, "doc_id")
+        .where(F.length("clean_text") > 0)
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+    )
+    assert c["after_span_cut"] == staged.count()
     staged = T.stratified_hash_sample(staged, {}, default_permille=900)
     assert c["after_sampling"] == staged.count()
     assert out["index"]["n_docs"] == c["after_sampling"]
+
+
+def test_pipeline_span_cut_removes_injected_duplication(spark, tmp_path):
+    """Crafted corpus proving the span-cut stage does real work inside
+    the composition: two long docs share a 24-token passage but are
+    otherwise disjoint (Jaccard ~0.14, far below the near-dup
+    threshold, so near-dup canonicalize keeps BOTH), and one doc is
+    pure duplicated text (fully cut, then dropped).  keep="first"
+    keeps the passage in the lowest doc_id and removes it downstream;
+    the token delta shows up in span_removed_tokens and the built
+    index serves exactly the survivors."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_demo import run_pipeline
+
+    def seq(lo, n):
+        return " ".join(f"w{i}" for i in range(lo, lo + n))
+
+    shared = seq(5000, 24)
+    rows = (
+        # unique-prefix docs sharing a 24-token passage
+        [(1, seq(0, 80) + " " + shared), (2, seq(1000, 80) + " " + shared)]
+        # pure duplication: same 8-token block as doc 4's tail, twice
+        + [(3, seq(9000, 8) + " " + seq(9000, 8))]
+        + [(4 + i, seq(2000 + 100 * i, 60)) for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in rows], "doc_id long, lang string, text string"
+    )
+    out = run_pipeline(
+        spark, docs, str(tmp_path / "pidx_cut"),
+        repetition_caps={},          # isolate the span-cut stage
+        num_shards=2, num_buckets=4,
+    )
+    c = out["counts"]
+    # doc 2 loses the 24-token passage; doc 3 self-repeat: pos-1 copy
+    # survives keep-first, second 8-token copy removed
+    assert c["span_removed_tokens"] == 24 + 8
+    assert c["after_span_cut"] == c["after_gopher"]  # nothing fully cut
+    assert out["index"]["n_docs"] == c["after_sampling"] == 8

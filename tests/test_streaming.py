@@ -356,3 +356,45 @@ def test_segmented_distributed_batch_rank_identical(spark, streamed):
         assert res == seg.search(q, kv), (q, kv)
     cold = I.SegmentedSearch(spark, index_root, preload=False)
     assert cold.search_tokens_distributed_batch(token_lists, 15) == want
+
+
+def test_segment_fsck(spark, streamed, tmp_path):
+    """r7 (VERDICT r6 #8): jobs/verify_index.py --segments rechecks
+    every manifest-live segment's payload fingerprints against its own
+    commit manifest plus stats.json vs the forward store.  Green on
+    the streamed index; a tampered stats.json and a live-but-missing
+    segment must each flip ok=False with a pointed mismatch row."""
+    import json
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from verify_index import verify_segments
+
+    _, index_root, _ = streamed
+    out = verify_segments(spark, index_root)
+    assert out["ok"], out
+    assert out["segments"] >= 2
+    assert all(r["ok"] for r in out["results"].values())
+
+    # work on a COPY — the fixture index is module-scoped
+    bad_root = tmp_path / "bad_idx"
+    shutil.copytree(index_root, bad_root)
+    live = I.live_segments(bad_root)
+    victim = Path(bad_root, "segments", live[0], "stats.json")
+    st = json.loads(victim.read_text())
+    st["n_docs"] += 7
+    victim.write_text(json.dumps(st))
+    I.register_segment(bad_root, "seg=ghost")  # live but not on disk
+
+    out2 = verify_segments(spark, str(bad_root))
+    assert not out2["ok"]
+    r_tampered = out2["results"][live[0]]
+    assert any(
+        m.get("field") == "n_docs" for m in r_tampered["mismatches"]
+    ), r_tampered
+    assert out2["results"]["seg=ghost"]["ok"] is False
+    # unregistered out-of-band dirs are reported, not failed
+    (Path(bad_root) / "segments" / "seg=oob").mkdir()
+    out3 = verify_segments(spark, str(bad_root))
+    assert "seg=oob" in out3["unregistered"]
