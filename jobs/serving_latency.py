@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -203,6 +204,84 @@ def main() -> None:
                     )
                     I.register_segment(seg_base, f"seg={si}")
             seg = I.SegmentedSearch(spark, str(seg_base), preload=True)
+            if mode == "segmented_ingest":
+                # r7 (VERDICT r6 #6): query latency DURING live ingest
+                # + tiered compaction.  The engine keeps its init-time
+                # segment snapshot (manifest reads are lock-free —
+                # only writers serialize on _manifest_lock), so this
+                # row isolates CONTENTION: concurrent Spark jobs from
+                # segment builds/merges, driver GIL pressure, and disk
+                # traffic.  Runs on a hardlink COPY of the segment
+                # root so the cached segroot stays pristine for the
+                # plain `segmented` row.
+                import shutil
+                import threading
+
+                from compaction_bench import build_segment
+
+                scratch = work / f"segroot_ingest_{args.pages}"
+                if scratch.exists():
+                    shutil.rmtree(scratch)
+                shutil.copytree(seg_base, scratch, copy_function=os.link)
+                seg2 = I.SegmentedSearch(spark, str(scratch), preload=True)
+                idle = measure(
+                    lambda q, k: seg2.search(q, k),
+                    queries, args.k, args.repeats,
+                )
+                ing_rows = (
+                    spark.read.parquet(str(inp))
+                    .select("doc_id", "text")
+                    .orderBy("doc_id", ascending=False)
+                    .limit(800)
+                    .collect()
+                )
+                stop = threading.Event()
+                stats = {"registered": 0, "compactions": 0}
+
+                def churner():
+                    xi = 0
+                    while not stop.is_set():
+                        # fresh doc_ids per segment (tiny integer shift
+                        # of 2^62-scale hash ids — collision odds ~0,
+                        # and the fold below must not see duplicates)
+                        sdf = spark.createDataFrame(
+                            [(r.doc_id + xi + 1, r.text) for r in ing_rows],
+                            "doc_id long, text string",
+                        )
+                        name = f"seg=ing{xi}"
+                        build_segment(
+                            spark, sdf, scratch / "segments" / name, 2
+                        )
+                        I.register_segment(scratch, name)
+                        stats["registered"] += 1
+                        if xi % 2 == 1 and not stop.is_set():
+                            I.compact_tiered(
+                                spark, str(scratch), max_segments=4,
+                                num_shards=4, num_buckets=16,
+                            )
+                            stats["compactions"] += 1
+                        xi += 1
+
+                th = threading.Thread(target=churner, daemon=True)
+                th.start()
+                under = measure(
+                    lambda q, k: seg2.search(q, k),
+                    queries, args.k, args.repeats,
+                )
+                stop.set()
+                th.join()
+                # every registration must be live or folded into a
+                # merged segment — verified by doc count growth
+                after = I.SegmentedSearch(spark, str(scratch), preload=True)
+                assert after.n_docs == seg2.n_docs + 800 * stats[
+                    "registered"
+                ], (after.n_docs, seg2.n_docs, stats)
+                out["modes"][mode] = {
+                    "idle": idle,
+                    "under_ingest": under,
+                    **stats,
+                }
+                continue
             if mode == "segmented_distributed_batch":
                 toks = [seg.engines[0].analyze_query(q) for q in queries]
                 seg.search_tokens_distributed_batch(toks[:5], args.k)
