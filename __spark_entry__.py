@@ -519,6 +519,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": lambda s, d: T.gopher_repetition(_docs(s, d)),
         # Gopher document-quality rule battery (same table, r7)
         "gopher_quality": lambda s, d: T.gopher_quality(_docs(s, d)),
+        # C4 cleaning heuristics (Raffel et al. 2020 §2.2, r7)
+        "c4_quality": lambda s, d: T.c4_quality(_docs(s, d)),
+        # corpus-unigram LM scoring (CCNet perplexity-filter analog, r7)
+        "unigram_nll": lambda s, d: T.unigram_nll(_docs(s, d)),
+        # corpus-wide duplicate-line removal (CCNet boilerplate filter,
+        # r7; keep-first stream-order policy)
+        "line_dedup": lambda s, d: D.dedup_lines(_docs(s, d)),
         "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
         # relational operator classes
@@ -1115,6 +1122,103 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
     AND n_stop_hits >= {T.GOPHER_MIN_STOP_HITS}
     THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
 FROM m
+"""
+
+# C4 cleaning heuristics (r7): same replace()/list-lambda arithmetic as
+# the Spark side; the pass flag uses textstats.C4_* constants verbatim.
+_C4_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CAST((length(text) - length(replace(text, '.', '')))
+       + (length(text) - length(replace(text, '!', '')))
+       + (length(text) - length(replace(text, '?', ''))) AS BIGINT)
+      AS n_sentences,
+    len(string_split(text, chr(10))) AS nl,
+    len(list_filter(string_split(text, chr(10)),
+        l -> list_contains(['.','!','?','"'], right(rtrim(l), 1)))) AS tl,
+    len(list_filter(string_split(text, chr(10)),
+        l -> len(list_filter(regexp_split_to_array(l, '\s+'),
+                 w -> w <> '')) < {T.C4_MIN_LINE_WORDS})) AS sl,
+    len(list_filter(string_split(text, chr(10)),
+        l -> contains(lower(l), 'javascript'))) AS jl,
+    CAST(CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS BIGINT)
+      AS has_curly,
+    CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+      AS BIGINT) AS has_lorem_ipsum
+  FROM documents
+)
+SELECT doc_id, n_sentences,
+  round(CASE WHEN nl > 0 THEN tl / nl ELSE 0.0 END, 6)
+    AS terminal_punct_line_frac,
+  round(CASE WHEN nl > 0 THEN sl / nl ELSE 0.0 END, 6)
+    AS short_line_frac,
+  round(CASE WHEN nl > 0 THEN jl / nl ELSE 0.0 END, 6)
+    AS javascript_line_frac,
+  has_curly, has_lorem_ipsum,
+  CAST(CASE WHEN n_sentences >= {T.C4_MIN_SENTENCES}
+    AND has_curly = 0 AND has_lorem_ipsum = 0
+    THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
+FROM base
+"""
+
+# Corpus-unigram LM scoring (r7): per-term log-probs quantize to
+# integer micro-nats BEFORE any aggregation, so float summation order
+# cannot split the engines; only integer sums and one final exact
+# division reach the rounded output.
+_UNIGRAM_NLL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+),
+lm AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM lm),
+lmp AS (
+  SELECT tok,
+         CAST(round(ln(CAST(c AS DOUBLE) / total) * 1000000) AS BIGINT)
+           AS lpm
+  FROM lm, tot
+),
+agg AS (
+  SELECT doc_id, CAST(sum(lpm) AS BIGINT) AS s, count(*) AS n
+  FROM tok JOIN lmp USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+  CASE WHEN coalesce(a.n, 0) > 0
+    THEN round(-a.s / (a.n * 1000000.0), 6) ELSE 0.0 END AS avg_nll
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+# Corpus-wide duplicate-line removal (r7): the oracle keys the
+# keep-first window on line TEXT (hash-free — deliberately different
+# from the engine's 60-bit md5-int key, like the span-cut oracles).
+_LINE_DEDUP_SQL = r"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10)))))
+           AS line_no
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (
+           PARTITION BY line ORDER BY doc_id, line_no
+         ) AS rn
+  FROM lines
+),
+kept AS (SELECT doc_id, line_no, line FROM ranked WHERE rn = 1),
+grouped AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(g.clean_text, '') AS clean_text,
+  CAST(len(string_split(d.text, chr(10))) - coalesce(g.n_kept, 0)
+       AS BIGINT) AS n_removed_lines
+FROM documents d LEFT JOIN grouped g USING (doc_id)
 """
 
 # similarity ------------------------------------------------------------
@@ -1960,6 +2064,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "gopher_repetition": _GOPHER_SQL,
         "gopher_quality": _GOPHER_QUALITY_SQL,
+        "c4_quality": _C4_QUALITY_SQL,
+        "unigram_nll": _UNIGRAM_NLL_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -820,3 +820,79 @@ def cut_dup_spans(
             .alias("n_removed_tokens"),
         )
     )
+
+
+def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
+    """Corpus-wide duplicate-LINE removal — the CCNet / RefinedWeb
+    boilerplate filter (Wenzek et al. 2019 dedups paragraphs by hash
+    before anything else; cookie banners and nav junk are cross-site
+    duplicated lines).  A line is duplicated when its exact text
+    occurs >= 2 times corpus-wide (self-repeats within one document
+    count).  ``keep="first"`` (the stream-order CCNet policy) keeps
+    the globally first occurrence — ordered by (doc_id, line_no) —
+    and cuts the rest; ``keep="none"`` cuts every occurrence of a
+    duplicated line (boilerplate is junk even once).  Returns
+    (doc_id, clean_text, n_removed_lines) with surviving lines
+    rejoined by '\\n' in original order; documents with no duplicated
+    lines pass through verbatim.
+
+    Scale shape: the duplicate decision shuffles ONLY 8-byte md5-int
+    line keys plus (doc_id, line_no) — one window exchange (or one
+    groupBy for keep="none"); line TEXT moves once, in the final
+    doc_id-keyed rebuild groupBy, which is the output's own volume and
+    therefore the minimum possible.  The 60-bit key is
+    collision-silent like the span key (:func:`_shingle_int` bound) —
+    a collision wrongly cuts one line per ~2^61 line pairs."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(text, '\n')")).alias("line_no", "line"),
+    )
+    keyed = lines.select(
+        "doc_id",
+        "line_no",
+        _shingle_int("line").alias("line_key"),
+    )
+    if keep == "first":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("line_key").orderBy("doc_id", "line_no")
+        kill = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") > 1)
+            .select("doc_id", "line_no")
+        )
+    else:
+        hot = (
+            keyed.groupBy("line_key")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 2)
+            .select("line_key")
+        )
+        kill = keyed.join(hot, "line_key").select("doc_id", "line_no")
+    kept = lines.join(kill, ["doc_id", "line_no"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(line_no, line))),"
+                " x -> x.line)"
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    n_lines = docs.select(
+        "doc_id",
+        F.size(F.expr("split(text, '\n')")).cast("long").alias("n_lines"),
+    )
+    return (
+        n_lines.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_lines"),
+        )
+    )

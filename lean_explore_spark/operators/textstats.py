@@ -492,3 +492,154 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         for n in GOPHER_DUP_NS
     ]
     return per_n.groupBy("doc_id", "denom").agg(*agg).drop("denom")
+
+
+# C4 page-level rule constants (Raffel et al. 2020 §2.2), shared with
+# the oracle and tests.  The paper's "bad words" blocklist is not
+# reproduced here (external resource); the remaining rules are.
+C4_MIN_SENTENCES = 3
+C4_MIN_LINE_WORDS = 5
+
+
+def c4_quality(docs: DataFrame) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning..." §2.2) as per-document signals:
+
+    - ``n_sentences`` — count of sentence terminators ('.', '!', '?');
+      pages with fewer than 3 sentences are dropped by the paper
+    - ``terminal_punct_line_frac`` — lines ending (after rtrim) in
+      '.', '!', '?' or '"' (C4 RETAINS only such lines)
+    - ``short_line_frac`` — lines with fewer than 5 whitespace words
+      (C4 drops them)
+    - ``javascript_line_frac`` — lines containing 'javascript'
+      case-insensitively (C4 drops them — cookie/JS-warning junk)
+    - ``has_curly`` / ``has_lorem_ipsum`` — page-level kill flags
+      (source code; placeholder text)
+    - ``c4_pass`` — the page-level verdict: >= 3 sentences, no curly
+      brace, no lorem ipsum.  The line-level signals parameterize the
+      CLEANING step (drop lines, then re-check), which a pipeline
+      applies before the page verdict; the paper's bad-words blocklist
+      is an external resource and is not reproduced.
+
+    Scale shape: one narrow zero-exchange projection, same class as
+    :func:`gopher_quality` (interpreted line-array lambdas with
+    2-node bodies; counting via replace()/length arithmetic)."""
+    lines = "split(text, '\n')"
+    line_words = r"filter(split(l, '\\s+'), w -> w <> '')"
+    raw = docs.select(
+        "doc_id",
+        (
+            F.expr("length(text) - length(replace(text, '.', ''))")
+            + F.expr("length(text) - length(replace(text, '!', ''))")
+            + F.expr("length(text) - length(replace(text, '?', ''))")
+        ).cast("long").alias("n_sentences"),
+        F.expr(f"size({lines})").alias("_nl"),
+        F.expr(
+            f"size(filter({lines},"
+            " l -> right(rtrim(l), 1) IN ('.','!','?','\"')))"
+        ).alias("_tl"),
+        F.expr(
+            f"size(filter({lines},"
+            f" l -> size({line_words}) < {C4_MIN_LINE_WORDS}))"
+        ).alias("_sl"),
+        F.expr(
+            f"size(filter({lines},"
+            " l -> contains(lower(l), 'javascript')))"
+        ).alias("_jl"),
+        F.expr(
+            "CASE WHEN contains(text, '{') THEN 1 ELSE 0 END"
+        ).cast("long").alias("has_curly"),
+        F.expr(
+            "CASE WHEN contains(lower(text), 'lorem ipsum')"
+            " THEN 1 ELSE 0 END"
+        ).cast("long").alias("has_lorem_ipsum"),
+    )
+
+    def per_line(x):
+        return F.when(
+            F.col("_nl") > 0, F.round(x / F.col("_nl"), 6)
+        ).otherwise(F.lit(0.0))
+
+    m = raw.select(
+        "doc_id",
+        "n_sentences",
+        per_line(F.col("_tl")).alias("terminal_punct_line_frac"),
+        per_line(F.col("_sl")).alias("short_line_frac"),
+        per_line(F.col("_jl")).alias("javascript_line_frac"),
+        "has_curly",
+        "has_lorem_ipsum",
+    )
+    ok = (
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & (F.col("has_curly") == 0)
+        & (F.col("has_lorem_ipsum") == 0)
+    )
+    return m.withColumn(
+        "c4_pass", F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+
+
+def unigram_nll(docs: DataFrame, broadcast_lm: bool = True) -> DataFrame:
+    """Corpus-unigram language-model scoring — the relational analog of
+    the CCNet/CC-quality "perplexity filter" (Wenzek et al. 2019 score
+    documents with a KenLM model; here the LM is the corpus's own
+    unigram distribution, so the operator is self-contained and
+    exactly reproducible).  Returns (doc_id, n_tokens, avg_nll): the
+    per-token average negative log-likelihood in nats, rounded 6dp —
+    high values flag documents whose vocabulary is atypical for the
+    corpus (gibberish, boilerplate codes, foreign text), the same
+    signal the KenLM filter thresholds.
+
+    Cross-engine exactness: float SUMMATION order differs between
+    engines, so per-term log-probs are quantized FIRST —
+    ``lpm = round(ln(c/total) * 1e6)`` as a bigint per DISTINCT term
+    (one IEEE double op from two exact integers, identical in both
+    engines) — and only INTEGER sums aggregate per doc; the final
+    division of two exact integers rounds identically everywhere.
+
+    Scale shape: one partial-aggregated groupBy(term) builds the LM
+    (hot terms combine map-side); the token→LM join broadcasts the LM
+    by default (vocab ≪ corpus — at web scale a 100M-term vocab is a
+    few GB, still broadcastable on real executors; set
+    ``broadcast_lm=False`` to let AQE pick a shuffle join with skew
+    handling when it is not), and the per-doc aggregation partial-aggs
+    again.  Token text crosses the wire once, in the LM groupBy.
+    Zero-token docs ride the SAME aggregation via explode_outer's NULL
+    row (left-joined LM, null-skipping count) — no corpus-size
+    retention join at the end (plan: 1 BroadcastHashJoin, 0
+    SortMergeJoin, audited)."""
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.expr(SQL_TOKENS)).alias("tok")
+    )
+    lm = (
+        toks.where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = lm.agg(F.sum("c").cast("long").alias("total"))
+    lmp = lm.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("c") / F.col("total")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("lpm"),
+    )
+    if broadcast_lm:
+        lmp = F.broadcast(lmp)
+    return (
+        toks.join(lmp, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lpm").cast("long").alias("s"),
+            F.count("tok").cast("long").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.when(
+                F.col("n") > 0,
+                F.round(-F.col("s") / (F.col("n") * F.lit(1_000_000.0)), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_nll"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Hand-computed semantics for the r7 curation operators: C4 cleaning
+heuristics (textstats.c4_quality — Raffel et al. 2020 §2.2 analog),
+corpus-unigram LM scoring (textstats.unigram_nll — CCNet perplexity-
+filter analog), and corpus-wide duplicate-line removal
+(dedup.dedup_lines — CCNet boilerplate filter).  The DuckDB oracle
+gate (test_driver_contract) checks engine parity; these pin the
+SEMANTICS against worked examples so both engines can't drift
+together."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from lean_explore_spark.operators import dedup as D
+from lean_explore_spark.operators import textstats as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_quality_hand_example(spark):
+    text = (
+        "This is a proper full sentence.\n"
+        "short line\n"
+        'He said "stop right there!"\n'
+        "Please enable JavaScript to continue browsing now?"
+    )
+    r = T.c4_quality(_docs(spark, [(1, text)])).collect()[0]
+    assert r.n_sentences == 3  # '.', '!', '?'
+    # lines ending . / " / ? -> 3 of 4 (the quote counts per the rule)
+    assert r.terminal_punct_line_frac == pytest.approx(0.75)
+    assert r.short_line_frac == pytest.approx(0.25)  # 'short line'
+    assert r.javascript_line_frac == pytest.approx(0.25)
+    assert r.has_curly == 0 and r.has_lorem_ipsum == 0
+    assert r.c4_pass == 1
+
+
+def test_c4_quality_kill_flags_and_sentence_floor(spark):
+    rows = [
+        (1, "One sentence only."),                      # < 3 sentences
+        (2, "A. B. C. but code { here }"),              # curly brace
+        (3, "A. B. C. and Lorem Ipsum filler text."),   # lorem ipsum
+        (4, "A. B. C."),                                # passes
+        (5, ""),                                        # degenerate
+    ]
+    out = {r.doc_id: r for r in T.c4_quality(_docs(spark, rows)).collect()}
+    assert out[1].c4_pass == 0 and out[1].n_sentences == 1
+    assert out[2].c4_pass == 0 and out[2].has_curly == 1
+    assert out[3].c4_pass == 0 and out[3].has_lorem_ipsum == 1
+    assert out[4].c4_pass == 1
+    assert out[5].c4_pass == 0 and out[5].n_sentences == 0
+    for r in out.values():  # NULL-free contract
+        assert r.terminal_punct_line_frac is not None
+        assert r.short_line_frac is not None
+
+
+def test_unigram_nll_hand_example(spark):
+    # corpus: doc1 = "a a b", doc2 = "b c" -> counts a:2 b:2 c:1,
+    # total 5.  lpm(t) = round(ln(c/5)*1e6); doc scores are integer
+    # sums / (n * 1e6), negated.
+    rows = [(1, "a a b"), (2, "b c")]
+    out = {
+        r.doc_id: r for r in T.unigram_nll(_docs(spark, rows)).collect()
+    }
+    lpm = {
+        t: round(math.log(c / 5) * 1_000_000)
+        for t, c in (("a", 2), ("b", 2), ("c", 1))
+    }
+    want1 = round(-(2 * lpm["a"] + lpm["b"]) / (3 * 1_000_000), 6)
+    want2 = round(-(lpm["b"] + lpm["c"]) / (2 * 1_000_000), 6)
+    assert out[1].n_tokens == 3
+    assert out[1].avg_nll == pytest.approx(want1, abs=0)
+    assert out[2].n_tokens == 2
+    assert out[2].avg_nll == pytest.approx(want2, abs=0)
+    # rare vocabulary scores strictly worse (higher NLL)
+    assert out[2].avg_nll > out[1].avg_nll
+
+
+def test_unigram_nll_degenerate_and_rare_flagging(spark):
+    # the common-word doc scores near the corpus baseline; the doc of
+    # hapaxes scores the corpus maximum; empty doc -> (0, 0.0)
+    common = " ".join(["the"] * 50)
+    rare = " ".join(f"z{i}" for i in range(10))
+    out = {
+        r.doc_id: r
+        for r in T.unigram_nll(
+            _docs(spark, [(1, common), (2, rare), (3, "")])
+        ).collect()
+    }
+    assert out[3].n_tokens == 0 and out[3].avg_nll == 0.0
+    assert out[2].avg_nll > out[1].avg_nll
+    # hapax NLL = -ln(1/60) quantized
+    want = round(-round(math.log(1 / 60) * 1e6) / 1e6, 6)
+    assert out[2].avg_nll == pytest.approx(want, abs=0)
+
+
+def test_dedup_lines_keep_first_cross_doc(spark):
+    boiler = "Accept cookies to continue"
+    rows = [
+        (1, f"unique alpha\n{boiler}\nunique beta"),
+        (2, f"{boiler}\nunique gamma"),
+        (3, "unique delta"),
+    ]
+    out = {
+        r.doc_id: r for r in D.dedup_lines(_docs(spark, rows)).collect()
+    }
+    # doc 1 (lowest doc_id) keeps the boilerplate line; doc 2 loses it
+    assert out[1].clean_text == f"unique alpha\n{boiler}\nunique beta"
+    assert out[1].n_removed_lines == 0
+    assert out[2].clean_text == "unique gamma"
+    assert out[2].n_removed_lines == 1
+    assert out[3].clean_text == "unique delta"
+    assert out[3].n_removed_lines == 0
+
+
+def test_dedup_lines_self_repeat_and_keep_none(spark):
+    rows = [(7, "x y z\nmiddle\nx y z")]
+    first = D.dedup_lines(_docs(spark, rows), keep="first").collect()[0]
+    assert first.clean_text == "x y z\nmiddle"
+    assert first.n_removed_lines == 1
+    none = D.dedup_lines(_docs(spark, rows), keep="none").collect()[0]
+    assert none.clean_text == "middle"
+    assert none.n_removed_lines == 2
+
+
+def test_dedup_lines_fully_cut_and_order_preserved(spark):
+    rows = [
+        (1, "dup\ndup"),          # global first survives, twin cut
+        (2, "dup"),               # fully cut -> empty clean_text
+        (3, "c\nb\na"),           # untouched, original order kept
+    ]
+    out = {
+        r.doc_id: r for r in D.dedup_lines(_docs(spark, rows)).collect()
+    }
+    assert out[1].clean_text == "dup" and out[1].n_removed_lines == 1
+    assert out[2].clean_text == "" and out[2].n_removed_lines == 1
+    assert out[3].clean_text == "c\nb\na" and out[3].n_removed_lines == 0
+
+
+def test_dedup_lines_bad_policy(spark):
+    with pytest.raises(ValueError):
+        D.dedup_lines(_docs(spark, [(1, "x")]), keep="last")

@@ -66,7 +66,12 @@ def test_query_matches_oracle(spark, duck, name):
 # queries() MUST have a green row in the latest CORRECTNESS_r*.json:
 # round 6 silently dropped ivf_topk + embed_texts (VERDICT r6 #1) and
 # nothing failed — this makes a driver omission impossible to miss.
-NEW_SINCE_LAST_ROUND: set[str] = {"gopher_quality"}
+NEW_SINCE_LAST_ROUND: set[str] = {
+    "gopher_quality",
+    "c4_quality",
+    "unigram_nll",
+    "line_dedup",
+}
 
 # The r6 driver omission of record (VERDICT r6 #1): both r5-green,
 # code untouched since, both exercised by the parametrized gate above.
