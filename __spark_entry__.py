@@ -526,6 +526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-wide duplicate-line removal (CCNet boilerplate filter,
         # r7; keep-first stream-order policy)
         "line_dedup": lambda s, d: D.dedup_lines(_docs(s, d)),
+        # benchmark decontamination (8-gram overlap vs a probe set —
+        # the deterministic 2% hash sample stands in for an eval
+        # suite; r7)
+        "decontaminate": lambda s, d: D.decontaminate(
+            _docs(s, d), T.hash_sample(_docs(s, d), 20, salt="contam")
+        ),
         "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
         # relational operator classes
@@ -1219,6 +1225,57 @@ SELECT d.doc_id,
   CAST(len(string_split(d.text, chr(10))) - coalesce(g.n_kept, 0)
        AS BIGINT) AS n_removed_lines
 FROM documents d LEFT JOIN grouped g USING (doc_id)
+"""
+
+# Benchmark decontamination (r7): probe set = the md5-fold hash sample
+# (salt 'contam', 20 permille — the _STRAT_SAMPLE_SQL fold verbatim);
+# grams via the same lead-window chain as _DUP_SPANS_SQL, matched on
+# TEXT (hash-free, deliberately different from the engine's 60-bit
+# gram ints).
+_DECONTAMINATE_SQL = r"""
+WITH digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+probe_ids AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(sum((strpos('0123456789abcdef',
+                 substr(md5('contam:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) % 1000
+             AS h
+    FROM documents CROSS JOIN digits
+    GROUP BY doc_id
+  ) WHERE h < 20
+),
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM tl
+),
+g0 AS (
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+              || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w
+              || ' ' || lead(term, 5) OVER w || ' ' || lead(term, 6) OVER w
+              || ' ' || lead(term, 7) OVER w AS gram,
+         lead(term, 7) OVER w AS _l
+  FROM ptok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (SELECT doc_id, gram FROM g0 WHERE _l IS NOT NULL),
+pgrams AS (
+  SELECT DISTINCT gram FROM grams JOIN probe_ids USING (doc_id)
+),
+hits AS (
+  SELECT g.doc_id, count(*) AS hit_grams
+  FROM grams g JOIN pgrams USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+  CAST(CASE WHEN h.hit_grams IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 # similarity ------------------------------------------------------------
@@ -2067,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_quality": _C4_QUALITY_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -1,0 +1,115 @@
+"""r7 curation operators at scaling-corpus size: gopher_quality,
+c4_quality, unigram_nll, and line_dedup re-run on the same
+deterministic pages corpus the scaling ladder uses (r6 precedent: the
+span/repetition family's 3.2M rows in BENCH.md §9).
+
+Each stage forces real materialization (sums over the value columns —
+a bare count() lets Catalyst prune whole subtrees; BENCH.md §9 note).
+
+Usage:
+    python jobs/curation_bench.py [--pages 3200000]
+        [--workdir /tmp/scaling] [--cpus N]
+Prints one JSON line; commit it under bench_raw/.  Long run → tmux
+(CLAUDE.md §Benchmarking).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "jobs"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=3_200_000)
+    ap.add_argument("--workdir", default="/tmp/scaling")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from scaling import ensure_input
+
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import dedup as D
+    from lean_explore_spark.operators import textstats as T
+    from lean_explore_spark.pyfiles import ensure_py_files
+    from lean_explore_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="curation_bench",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_py_files(spark)
+
+    work = Path(args.workdir)
+    inp = work / f"pages_{args.pages}"
+    ensure_input(args.pages, inp, spark=spark)
+    docs = spark.read.parquet(str(inp)).select("doc_id", "text")
+
+    out = {"pages": args.pages, "stages": {}}
+
+    def stage(name, fn):
+        t0 = time.time()
+        res = fn()
+        wall = time.time() - t0
+        out["stages"][name] = {
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": round(args.pages / wall, 1),
+            **res,
+        }
+        print(f"# {name}: {json.dumps(out['stages'][name])}", file=sys.stderr)
+
+    stage(
+        "gopher_quality",
+        lambda: {
+            "passing_docs": int(
+                T.gopher_quality(docs)
+                .agg(F.sum("gopher_pass"))
+                .collect()[0][0]
+            )
+        },
+    )
+    stage(
+        "c4_quality",
+        lambda: {
+            "passing_docs": int(
+                T.c4_quality(docs).agg(F.sum("c4_pass")).collect()[0][0]
+            )
+        },
+    )
+    stage(
+        "unigram_nll",
+        lambda: {
+            "total_tokens": int(
+                T.unigram_nll(docs).agg(F.sum("n_tokens")).collect()[0][0]
+            )
+        },
+    )
+    def _line_dedup():
+        # sum of clean-text bytes forces the full rebuild (a bare
+        # count would prune the collect_list — BENCH.md §9); ONE agg
+        # action for both outputs
+        row = (
+            D.dedup_lines(docs)
+            .agg(
+                F.sum(F.length("clean_text")).alias("b"),
+                F.sum("n_removed_lines").alias("r"),
+            )
+            .collect()[0]
+        )
+        return {"clean_bytes": int(row["b"]), "removed_lines": int(row["r"])}
+
+    stage("line_dedup", _line_dedup)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

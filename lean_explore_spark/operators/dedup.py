@@ -896,3 +896,50 @@ def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
             .alias("n_removed_lines"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame, probes: DataFrame, l: int = 8
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing any
+    word ``l``-gram with a probe/eval set (the standard LLM-pipeline
+    step that removes test-set leakage before training; e.g. GPT-3
+    appendix C / PaLM's 8-gram overlap rule).  ``probes`` is any
+    (doc_id, text) relation — held-out benchmarks, eval suites.
+    Returns one row per CORPUS doc: (doc_id, hit_grams, contaminated)
+    where ``hit_grams`` counts the doc's gram POSITIONS matching any
+    probe gram (0 for clean docs) and ``contaminated`` is the 0/1 kill
+    flag a pipeline anti-joins on.
+
+    Scale shape: corpus grams assemble in-row and collapse to 60-bit
+    md5 ints before any join (gram text never shuffles; same
+    collision-silent bound as :func:`_shingle_int` — a collision
+    false-flags ~1e-5 of docs at 1e13 grams, conservative in the safe
+    direction for decontamination); the probe side is DISTINCT gram
+    ints — benchmarks are tiny next to the corpus, so the join
+    BROADCASTS and the whole operator is one narrow pass over the
+    corpus plus a per-doc partial aggregation.  With a probe set too
+    large to broadcast, drop the hint and AQE picks a shuffle join."""
+    corpus = _positioned_grams(docs, l)
+    probe_grams = F.broadcast(
+        _positioned_grams(probes, l).select("gram_h").distinct()
+    )
+    hits = (
+        corpus.join(probe_grams, "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("hit_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit_grams", F.lit(0)).cast("long").alias(
+                "hit_grams"
+            ),
+            F.when(F.col("hit_grams").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

@@ -143,3 +143,45 @@ def test_dedup_lines_fully_cut_and_order_preserved(spark):
 def test_dedup_lines_bad_policy(spark):
     with pytest.raises(ValueError):
         D.dedup_lines(_docs(spark, [(1, "x")]), keep="last")
+
+
+def _seq(lo, n):
+    return " ".join(f"w{i}" for i in range(lo, lo + n))
+
+
+def test_decontaminate_flags_overlap(spark):
+    # probe doc shares its 10-token middle with corpus doc 2 only;
+    # doc 2's overlap holds 10-8+1 = 3 matching 8-gram positions
+    leak = _seq(500, 10)
+    corpus = _docs(spark, [
+        (1, _seq(0, 30)),
+        (2, _seq(100, 20) + " " + leak + " " + _seq(200, 5)),
+        (3, _seq(300, 6)),          # too short for any 8-gram
+    ])
+    probes = _docs(spark, [(99, _seq(900, 4) + " " + leak)])
+    out = {
+        r.doc_id: (r.hit_grams, r.contaminated)
+        for r in D.decontaminate(corpus, probes).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (3, 1)
+    assert out[3] == (0, 0)
+
+
+def test_decontaminate_self_and_repeated_hits(spark):
+    # a probe that IS a corpus doc: every gram position hits (12
+    # tokens -> 5 positions); a doc repeating a leaked gram twice
+    # counts BOTH positions (position-level counting, not distinct)
+    block = _seq(0, 12)
+    g8 = _seq(0, 8)
+    corpus = _docs(spark, [
+        (1, block),
+        (2, g8 + " zq " + g8),
+    ])
+    probes = _docs(spark, [(99, block)])
+    out = {
+        r.doc_id: (r.hit_grams, r.contaminated)
+        for r in D.decontaminate(corpus, probes).collect()
+    }
+    assert out[1] == (5, 1)
+    assert out[2] == (2, 1)  # the 8-gram at pos 1 and pos 10

@@ -71,6 +71,7 @@ NEW_SINCE_LAST_ROUND: set[str] = {
     "c4_quality",
     "unigram_nll",
     "line_dedup",
+    "decontaminate",
 }
 
 # The r6 driver omission of record (VERDICT r6 #1): both r5-green,
