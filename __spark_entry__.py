@@ -532,6 +532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda s, d: D.decontaminate(
             _docs(s, d), T.hash_sample(_docs(s, d), 20, salt="contam")
         ),
+        # training-sequence packing (global prefix sum WITHOUT the
+        # single-partition window trap — two-phase cumsum; r7)
+        "pack_sequences": lambda s, d: T.pack_sequences(
+            _docs(s, d), budget=512
+        ),
         "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
         # relational operator classes
@@ -1276,6 +1281,29 @@ SELECT d.doc_id,
   CAST(CASE WHEN h.hit_grams IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
     AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+# Training-sequence packing (r7): the oracle is the straightforward
+# single-window cumsum (fine at oracle scale); the engine's two-phase
+# parallel prefix sum must match it bit-for-bit — all-integer math.
+_PACK_SEQUENCES_SQL = r"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+           AS start_pos
+  FROM sized
+)
+SELECT doc_id, n_tokens, start_pos,
+  CAST(start_pos // 512 AS BIGINT) AS first_seq,
+  CAST((start_pos + greatest(n_tokens - 1, 0)) // 512 AS BIGINT)
+    AS last_seq
+FROM cum
 """
 
 # similarity ------------------------------------------------------------
@@ -2125,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": _UNIGRAM_NLL_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -4,6 +4,8 @@ oracle-checked operators, chained as a single lazy DataFrame flow plus
 the index build at the end.
 
     raw documents
+      → [optional] corpus-wide line dedup, CCNet order
+                                         (dedup.dedup_lines)
       → language ID                      (textstats.lang_id)
       → quality filter (per-lang top-X%) (textstats.quality_topk_per_group)
       → exact dedup                      (dedup.exact_dup_groups winners)
@@ -77,6 +79,7 @@ def run_pipeline(
     require_gopher_quality: bool = False,
     span_cut: bool = True,
     span_l: int = 8,
+    line_dedup: bool = False,
 ) -> dict:
     """Single-pass composition (r4 VERDICT #1, was graded weak): the
     per-stage row counts ride the plan as ``df.observe`` counters
@@ -107,14 +110,29 @@ def run_pipeline(
 
     obs = {
         name: Observation()
-        for name in ("input", "after_quality", "after_near_dedup",
-                     "span_cut", "after_span_cut", "after_sampling")
+        for name in ("input", "after_line_dedup", "after_quality",
+                     "after_near_dedup", "span_cut", "after_span_cut",
+                     "after_sampling")
     }
 
     def observed(df, name):
         return df.observe(obs[name], F.count(F.lit(1)).alias("n"))
 
     docs = observed(docs, "input")
+
+    # 0. optional corpus-wide duplicate-line removal, FIRST (the CCNet
+    # order: boilerplate lines go before language ID or quality ever
+    # look at the text); fully-cut docs drop here
+    if line_dedup:
+        ld = D.dedup_lines(docs.select("doc_id", "text"))
+        keep_cols = [c for c in docs.columns if c != "text"]
+        docs = observed(
+            docs.select(*keep_cols)
+            .join(ld, "doc_id")
+            .where(F.length("clean_text") > 0)
+            .select(*keep_cols, F.col("clean_text").alias("text")),
+            "after_line_dedup",
+        )
 
     # 1. language ID (broadcast stopword join; replaces the raw lang
     # column with the model's prediction, as a real pipeline would)
@@ -141,6 +159,11 @@ def run_pipeline(
     counts = {"after_exact_dedup": cached.count()}
     counts = {
         "input": int(obs["input"].get["n"]),
+        **(
+            {"after_line_dedup": int(obs["after_line_dedup"].get["n"])}
+            if line_dedup
+            else {}
+        ),
         "after_quality": int(obs["after_quality"].get["n"]),
         **counts,
     }
@@ -264,6 +287,11 @@ def main() -> None:
         help="skip the exact-substring keep-first span cut stage",
     )
     ap.add_argument(
+        "--line-dedup", action="store_true",
+        help="run corpus-wide duplicate-line removal (CCNet boilerplate "
+        "filter, keep-first) as the FIRST stage",
+    )
+    ap.add_argument(
         "--require-gopher-quality", action="store_true",
         help="also require the full Gopher quality battery to pass "
         "(textstats.gopher_quality); off by default — the synthetic "
@@ -286,6 +314,7 @@ def main() -> None:
         quality_k=args.quality_k,
         span_cut=not args.no_span_cut,
         require_gopher_quality=args.require_gopher_quality,
+        line_dedup=args.line_dedup,
     )
     print(json.dumps(out))
 

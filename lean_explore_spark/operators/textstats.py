@@ -643,3 +643,85 @@ def unigram_nll(docs: DataFrame, broadcast_lm: bool = True) -> DataFrame:
             .alias("avg_nll"),
         )
     )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 4096) -> DataFrame:
+    """Training-sequence packing — the pretraining data-prep step that
+    concatenates the tokenized corpus in a deterministic document
+    order and chunks it into fixed ``budget``-token training
+    sequences (GPT-style "documents may span sequence boundaries"
+    packing).  Per document: (doc_id, n_tokens, start_pos, first_seq,
+    last_seq) where ``start_pos`` is the document's 0-based offset in
+    the concatenated token stream, and first/last_seq are the
+    sequence ids its tokens land in (empty docs take their boundary
+    position with first_seq = last_seq = the sequence at start_pos).
+
+    Scale shape — a GLOBAL prefix sum without the single-partition
+    trap: a plain ``Window.orderBy(doc_id)`` with no partition key
+    makes Spark move the whole relation to ONE partition (it even
+    logs the warning).  Instead: repartitionByRange(doc_id) gives
+    contiguous ascending doc_id ranges per partition; a per-partition
+    window (partitionBy spark_partition_id) computes local running
+    sums IN PARALLEL; per-partition totals (one tiny aggregate,
+    #partitions rows) broadcast back as prefix offsets via a range
+    join on partition id.  Two narrow shuffles + one broadcast —
+    works unchanged at 10^12 docs.  All arithmetic is integer, so the
+    DuckDB oracle (one window cumsum) matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    sc = docs.sparkSession.sparkContext
+    nparts = max(2, sc.defaultParallelism)
+    sized = (
+        docs.select(
+            "doc_id",
+            F.size(F.expr(SQL_TOKENS)).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(nparts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    local = sized.withColumn(
+        "_local_end", F.sum("n_tokens").over(w)
+    )
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_local_end").alias("_ptotal"))
+    )
+    # prefix offset per partition: sum of totals of all LOWER pids —
+    # a broadcast self-join on pid ordering (#partitions rows, tiny)
+    a = totals.alias("a")
+    b = totals.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left"
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.coalesce(F.sum("b._ptotal"), F.lit(0)).alias("_offset")
+        )
+    )
+    out = local.join(F.broadcast(offsets), "_pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_offset") + F.col("_local_end") - F.col("n_tokens"))
+        .cast("long")
+        .alias("start_pos"),
+    )
+    return (
+        out.withColumn(
+            "_end",
+            F.col("start_pos")
+            + F.greatest(F.col("n_tokens") - 1, F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_pos",
+            # integer div throughout: positions reach 10^13 at corpus
+            # scale and float quotients corrupt (CLAUDE.md invariant)
+            F.expr(f"start_pos div {budget}").cast("long").alias(
+                "first_seq"
+            ),
+            F.expr(f"_end div {budget}").cast("long").alias("last_seq"),
+        )
+    )

@@ -185,3 +185,44 @@ def test_decontaminate_self_and_repeated_hits(spark):
     }
     assert out[1] == (5, 1)
     assert out[2] == (2, 1)  # the 8-gram at pos 1 and pos 10
+
+
+def test_pack_sequences_hand_example(spark):
+    # budget 10; docs (in doc_id order) of 4, 9, 0, 10, 3 tokens:
+    # starts 0, 4, 13, 13, 23; ends 3, 12, 13, 22, 25
+    rows = [
+        (1, _seq(0, 4)),
+        (2, _seq(10, 9)),
+        (3, ""),
+        (4, _seq(30, 10)),
+        (5, _seq(50, 3)),
+    ]
+    out = {
+        r.doc_id: (r.n_tokens, r.start_pos, r.first_seq, r.last_seq)
+        for r in T.pack_sequences(_docs(spark, rows), budget=10).collect()
+    }
+    assert out[1] == (4, 0, 0, 0)
+    assert out[2] == (9, 4, 0, 1)    # spans the 10-token boundary
+    assert out[3] == (0, 13, 1, 1)   # empty doc sits at its offset
+    assert out[4] == (10, 13, 1, 2)
+    assert out[5] == (3, 23, 2, 2)
+
+
+def test_pack_sequences_matches_single_window_and_parallelism(spark):
+    # the two-phase parallel prefix sum must equal the trivial global
+    # cumsum, at any partitioning of the input
+    import itertools
+
+    rows = [(i, _seq(i * 50, (i * 7) % 23)) for i in range(1, 200)]
+    docs = _docs(spark, rows)
+    lens = {i: (i * 7) % 23 for i in range(1, 200)}
+    acc, want = 0, {}
+    for i in sorted(lens):
+        want[i] = (lens[i], acc)
+        acc += lens[i]
+    for reparted in (docs, docs.repartition(13), docs.coalesce(1)):
+        got = {
+            r.doc_id: (r.n_tokens, r.start_pos)
+            for r in T.pack_sequences(reparted, budget=4096).collect()
+        }
+        assert got == want

@@ -72,6 +72,7 @@ NEW_SINCE_LAST_ROUND: set[str] = {
     "unigram_nll",
     "line_dedup",
     "decontaminate",
+    "pack_sequences",
 }
 
 # The r6 driver omission of record (VERDICT r6 #1): both r5-green,

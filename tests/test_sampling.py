@@ -281,3 +281,43 @@ def test_pipeline_span_cut_removes_injected_duplication(spark, tmp_path):
     assert c["span_removed_tokens"] == 24 + 8
     assert c["after_span_cut"] == c["after_gopher"]  # nothing fully cut
     assert out["index"]["n_docs"] == c["after_sampling"] == 8
+
+
+def test_pipeline_line_dedup_stage(spark, tmp_path):
+    """Opt-in CCNet-order first stage (r7): corpus-wide duplicate-line
+    removal runs BEFORE language ID / quality, fully-cut docs drop,
+    and the stage count matches the standalone operator."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_demo import run_pipeline
+
+    from lean_explore_spark.operators import dedup as D
+
+    boiler = "accept cookies to continue browsing this site today"
+
+    def seq(lo, n):
+        return " ".join(f"w{i}" for i in range(lo, lo + n))
+
+    rows = (
+        [(1, f"{seq(0, 60)}\n{boiler}"), (2, f"{boiler}\n{seq(1000, 60)}")]
+        + [(3, boiler)]  # nothing but the boilerplate -> fully cut
+        + [(4 + i, seq(2000 + 100 * i, 60)) for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in rows], "doc_id long, lang string, text string"
+    )
+    out = run_pipeline(
+        spark, docs, str(tmp_path / "pidx_ld"),
+        line_dedup=True, repetition_caps={}, span_cut=False,
+        num_shards=2, num_buckets=4,
+    )
+    c = out["counts"]
+    assert c["input"] == 7
+    # doc 3 is fully cut; docs 1/2 survive (doc 2 loses the line)
+    assert c["after_line_dedup"] == 6
+    # standalone recompute agrees
+    ld = D.dedup_lines(docs.select("doc_id", "text"))
+    survivors = ld.where("length(clean_text) > 0").count()
+    assert c["after_line_dedup"] == survivors == 6
+    assert out["index"]["n_docs"] == c["after_sampling"] == 6
