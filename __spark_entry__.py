@@ -17,6 +17,12 @@ Coverage map (SURVEY.md §2 + training-data ops):
 * pipeline ops (r3): stratified_sample (deterministic md5-threshold
   membership, per-lang rates), quality_topk (top-k by 6dp quality per
   language)
+* curation batteries (r7): gopher_quality (Rae et al. 2021 A1 rules),
+  c4_quality (Raffel et al. 2020 §2.2 heuristics), unigram_nll
+  (corpus-unigram LM scoring, integer micro-nat quantization),
+  line_dedup (CCNet corpus-wide duplicate-line removal, keep-first),
+  decontaminate (8-gram overlap vs a probe set), pack_sequences
+  (training-sequence packing via two-phase parallel prefix sum)
 * similarity: cosine_topk (brute force), lsh_buckets (integer-exact
   plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
 * hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →
