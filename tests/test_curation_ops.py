@@ -226,3 +226,89 @@ def test_pack_sequences_matches_single_window_and_parallelism(spark):
             for r in T.pack_sequences(reparted, budget=4096).collect()
         }
         assert got == want
+
+
+def _random_corpus(seed, n_docs=60):
+    """Seeded corpus with deliberately colliding lines and varied
+    token counts (ASCII so the JVM and Python \\w+ analyzers agree)."""
+    import random
+
+    rng = random.Random(seed)
+    line_pool = [
+        " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "eps"])
+            for _ in range(rng.randint(0, 6))
+        )
+        for _ in range(25)
+    ]
+    rows = []
+    for i in range(n_docs):
+        n_lines = rng.randint(0, 8)
+        text = "\n".join(
+            rng.choice(line_pool) for _ in range(n_lines)
+        ) if n_lines else ""
+        rows.append((1000 + i, text))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("keep", ["first", "none"])
+def test_dedup_lines_differential_random(spark, seed, keep):
+    rows = _random_corpus(seed)
+
+    # pure-Python reference
+    from collections import Counter
+
+    stream = [
+        (d, i, ln)
+        for d, t in sorted(rows)
+        for i, ln in enumerate(t.split("\n"))
+    ]
+    counts = Counter(ln for _, _, ln in stream)
+    first = {}
+    for d, i, ln in stream:
+        first.setdefault(ln, (d, i))
+    want = {}
+    for d, t in rows:
+        kept, removed = [], 0
+        for i, ln in enumerate(t.split("\n")):
+            cut = (
+                first[ln] != (d, i)
+                if keep == "first"
+                else counts[ln] >= 2
+            )
+            if cut:
+                removed += 1
+            else:
+                kept.append(ln)
+        want[d] = ("\n".join(kept), removed)
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_lines)
+        for r in D.dedup_lines(_docs(spark, rows), keep=keep).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_pack_sequences_differential_random(spark, seed):
+    import re
+
+    rows = _random_corpus(seed, n_docs=120)
+    budget = 7
+    lens = {
+        d: len(re.findall(r"\w+", t.lower())) for d, t in rows
+    }
+    acc, want = 0, {}
+    for d in sorted(lens):
+        n = lens[d]
+        start, end = acc, acc + max(n - 1, 0)
+        want[d] = (n, start, start // budget, end // budget)
+        acc += n
+    got = {
+        r.doc_id: (r.n_tokens, r.start_pos, r.first_seq, r.last_seq)
+        for r in T.pack_sequences(
+            _docs(spark, rows), budget=budget
+        ).collect()
+    }
+    assert got == want

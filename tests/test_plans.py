@@ -119,3 +119,35 @@ def test_hybrid_topk_plan_is_candidate_pruned(spark):
     assert "Sort " not in plan and "Sort[" not in plan  # TakeOrdered only
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_r7_curation_plans_hold_their_shape(spark):
+    """The r7 curation operators' 100 TB promises, pinned as plan
+    assertions (COVERAGE.md rows): quality batteries are ZERO-exchange
+    narrow projections; unigram_nll and decontaminate broadcast their
+    small side and never sort-merge; pack_sequences' global prefix sum
+    must NOT be the single-partition global window."""
+    from lean_explore_spark.operators import dedup as D
+    from lean_explore_spark.operators import textstats as T
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    for op in (T.gopher_quality, T.c4_quality):
+        plan = plan_of(op(docs), mode="simple")
+        assert "Exchange" not in plan, op.__name__
+
+    plan = plan_of(T.unigram_nll(docs), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    probes = T.hash_sample(docs, 20, salt="contam")
+    plan = plan_of(D.decontaminate(docs, probes), mode="simple")
+    assert "BroadcastHashJoin" in plan
+
+    plan = plan_of(T.pack_sequences(docs), mode="simple")
+    # the trap plan is Window with an empty partition spec, which
+    # plans as Exchange SinglePartition feeding the Window
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan and "_pid" in plan
