@@ -163,11 +163,26 @@ def start_incremental_indexing(
     num_shards: int = 2,
     num_buckets: int = 4,
     trigger_available_now: bool = True,
+    curation_filter=None,
 ):
     """Stream parquet page files → per-batch segment indexes.
 
     Returns the StreamingQuery; callers await termination.  Schema is
     taken from the existing files in ``pages_stream_dir``.
+
+    ``curation_filter`` (r7): an optional ``DataFrame -> DataFrame``
+    applied to each micro-batch BEFORE the segment build — the
+    streaming slot for the per-doc curation battery (quality/
+    repetition filters, text rewriting; any operator whose decision
+    needs no cross-batch state).  It must preserve/produce
+    (doc_id, text); a batch filtered to empty builds no segment.
+    Determinism note: the filter runs inside the exactly-once
+    foreachBatch epoch, so a restart re-applies it to the identical
+    batch — per-doc deterministic filters keep resume byte-identical.
+    CROSS-CORPUS operators (MinHash, exact-substring spans, corpus LM)
+    don't fit this slot by design — their statistics span batches; run
+    them as the batch pipeline (jobs/pipeline_demo.py) or at
+    compaction time.
     """
     root = Path(index_root)
     (root / "segments").mkdir(parents=True, exist_ok=True)
@@ -180,6 +195,8 @@ def start_incremental_indexing(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if curation_filter is not None:
+            batch_df = curation_filter(batch_df)
         if batch_df.isEmpty():
             return
         seg_dir = root / "segments" / f"seg={epoch_id}"

@@ -398,3 +398,46 @@ def test_segment_fsck(spark, streamed, tmp_path):
     (Path(bad_root) / "segments" / "seg=oob").mkdir()
     out3 = verify_segments(spark, str(bad_root))
     assert "seg=oob" in out3["unregistered"]
+
+
+def test_streaming_curation_filter(spark, tmp_path):
+    """r7: the per-micro-batch curation hook — a quality predicate
+    applied inside foreachBatch keeps failing docs out of EVERY
+    segment; the indexed universe equals the filtered corpus."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import textstats as T
+
+    base = tmp_path / "curated_stream"
+    pages_dir = base / "pages"
+    docs = P.assign_doc_ids(
+        P.extract_text(P.generate_pages(spark, 200, partitions=2))
+    ).select("doc_id", P.F.col("extracted_text").alias("text"))
+    docs.repartition(4).write.mode("overwrite").parquet(str(pages_dir))
+
+    def keep_wordy(batch_df):
+        # per-doc deterministic predicate: >= 40 whitespace words
+        sized = T.token_counts(batch_df).where("ws_tokens >= 40")
+        return batch_df.join(sized.select("doc_id"), "doc_id")
+
+    index_root = base / "idx"
+    q = I.start_incremental_indexing(
+        spark, str(pages_dir), str(index_root),
+        num_shards=2, num_buckets=4, curation_filter=keep_wordy,
+    )
+    q.awaitTermination(300)
+
+    want_ids = {
+        r.doc_id
+        for r in T.token_counts(spark.read.parquet(str(pages_dir)))
+        .where("ws_tokens >= 40")
+        .collect()
+    }
+    assert 0 < len(want_ids) < 200  # the predicate actually splits
+
+    seg = I.SegmentedSearch(spark, str(index_root))
+    assert seg.n_docs == len(want_ids)
+    got_ids = set()
+    for e in seg.engines:
+        got_ids.update(e.iter_doc_ids())
+    assert got_ids == want_ids
