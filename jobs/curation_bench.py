@@ -108,6 +108,34 @@ def main() -> None:
         return {"clean_bytes": int(row["b"]), "removed_lines": int(row["r"])}
 
     stage("line_dedup", _line_dedup)
+
+    from lean_explore_spark.operators.textstats import hash_sample
+
+    stage(
+        "decontaminate",
+        lambda: {
+            # probe set = deterministic 0.5% sample standing in for an
+            # eval suite; contaminated count forces the broadcast
+            # semi-join + per-doc aggregation
+            "contaminated_docs": int(
+                D.decontaminate(docs, hash_sample(docs, 5, salt="cb"))
+                .agg(F.sum("contaminated"))
+                .collect()[0][0]
+            )
+        },
+    )
+    stage(
+        "pack_sequences",
+        lambda: {
+            # max last_seq forces the full two-phase prefix sum
+            "n_sequences": int(
+                T.pack_sequences(docs, budget=4096)
+                .agg(F.max("last_seq"))
+                .collect()[0][0]
+            )
+            + 1
+        },
+    )
     print(json.dumps(out))
 
 

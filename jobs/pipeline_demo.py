@@ -18,6 +18,8 @@ the index build at the end.
                                          (textstats.gopher_quality)
       → exact-substring span cut, keep-first policy
                                          (dedup.cut_dup_spans)
+      → [optional] benchmark decontamination vs a probe set
+                                         (dedup.decontaminate)
       → stratified hash sampling         (textstats.stratified_hash_sample)
       → inverted-index build             (index.builder.IndexBuilder)
 
@@ -80,6 +82,7 @@ def run_pipeline(
     span_cut: bool = True,
     span_l: int = 8,
     line_dedup: bool = False,
+    probes=None,
 ) -> dict:
     """Single-pass composition (r4 VERDICT #1, was graded weak): the
     per-stage row counts ride the plan as ``df.observe`` counters
@@ -112,7 +115,7 @@ def run_pipeline(
         name: Observation()
         for name in ("input", "after_line_dedup", "after_quality",
                      "after_near_dedup", "span_cut", "after_span_cut",
-                     "after_sampling")
+                     "after_decontaminate", "after_sampling")
     }
 
     def observed(df, name):
@@ -233,6 +236,21 @@ def run_pipeline(
         stage2 = cached
         docs = staged
 
+    # 6b. optional benchmark decontamination against a probe/eval set
+    # — runs on the text actually being trained on (post span-cut);
+    # contaminated docs anti-join away.  The gram pass re-reads the
+    # current relation (persisted upstream at stage2), the standard
+    # place a production run would checkpoint.
+    if probes is not None:
+        bad = (
+            D.decontaminate(docs.select("doc_id", "text"), probes)
+            .where(F.col("contaminated") == 1)
+            .select("doc_id")
+        )
+        docs = observed(
+            docs.join(bad, "doc_id", "left_anti"), "after_decontaminate"
+        )
+
     # 7. stratified sampling (per-language rebalance)
     docs = observed(
         T.stratified_hash_sample(
@@ -261,6 +279,10 @@ def run_pipeline(
         counts["after_span_cut"] = int(obs["after_span_cut"].get["n"])
     else:
         counts["after_near_dedup"] = int(obs["after_near_dedup"].get["n"])
+    if probes is not None:
+        counts["after_decontaminate"] = int(
+            obs["after_decontaminate"].get["n"]
+        )
     counts["after_sampling"] = int(obs["after_sampling"].get["n"])
     stage2.unpersist()  # = cached when span_cut is off (r5 hygiene)
     return {

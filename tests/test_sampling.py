@@ -321,3 +321,46 @@ def test_pipeline_line_dedup_stage(spark, tmp_path):
     survivors = ld.where("length(clean_text) > 0").count()
     assert c["after_line_dedup"] == survivors == 6
     assert out["index"]["n_docs"] == c["after_sampling"] == 6
+
+
+def test_pipeline_decontaminate_stage(spark, tmp_path):
+    """Opt-in decontamination stage (r7): a probe set sharing an
+    8-gram with one corpus doc removes exactly that doc, counted by
+    the after_decontaminate observer and matching the standalone op."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_demo import run_pipeline
+
+    from lean_explore_spark.operators import dedup as D
+
+    def seq(lo, n):
+        return " ".join(f"w{i}" for i in range(lo, lo + n))
+
+    leak = seq(5000, 12)
+    rows = [(1, seq(0, 60) + " " + leak)] + [
+        (2 + i, seq(1000 + 100 * i, 60)) for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in rows], "doc_id long, lang string, text string"
+    )
+    probes = spark.createDataFrame(
+        [(99, seq(9000, 4) + " " + leak)], "doc_id long, text string"
+    )
+    out = run_pipeline(
+        spark, docs, str(tmp_path / "pidx_dc"),
+        repetition_caps={}, span_cut=False, probes=probes,
+        num_shards=2, num_buckets=4,
+    )
+    c = out["counts"]
+    assert c["input"] == 6
+    assert c["after_decontaminate"] == 5  # doc 1 removed
+    # standalone recompute agrees on WHICH doc
+    flagged = {
+        r.doc_id
+        for r in D.decontaminate(docs.select("doc_id", "text"), probes)
+        .where("contaminated = 1")
+        .collect()
+    }
+    assert flagged == {1}
+    assert out["index"]["n_docs"] == c["after_sampling"] == 5
