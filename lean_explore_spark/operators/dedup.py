@@ -749,9 +749,12 @@ def cut_dup_spans(
     rebuild is one partial-agg-free groupBy(doc_id)
     whose collect_list is bounded by the document length (the same
     per-row bound the gram arrays already carry).  keep="first" adds
-    one doc_id join to recover span text plus one window over the
-    md5-int span key (8-byte shuffle; span text never shuffles) —
-    span-count-sized relations, tiny next to the corpus.  The default
+    one doc_id join to recover span text plus a partial-aggregable
+    min(struct) + equi-join over the md5-int span key (8-byte
+    shuffles; span text never shuffles; r7: no row_number window, so
+    a viral span duplicated 1e9 times can't become an unsplittable
+    window straggler) — span-count-sized relations, tiny next to the
+    corpus.  The default
     60-bit span key is collision-silent (a collision falsely merges
     two distinct span texts and cuts one that should survive — see
     :func:`_shingle_int` for the 1e13-scale bound); pass
@@ -762,7 +765,6 @@ def cut_dup_spans(
     if spans is None:
         spans = dup_span_runs(docs, l=l, min_count=min_count)
     if keep == "first":
-        from pyspark.sql import Window
 
         toks0 = docs.select("doc_id", F.expr(SQL_TOKENS).alias("_toks"))
         key_cols = _span_key_cols(
@@ -775,10 +777,22 @@ def cut_dup_spans(
             "doc_id", "span_start", "span_end", *key_cols
         )
         key_names = [c for c in keyed.columns if c.startswith("span_key")]
-        w = Window.partitionBy(*key_names).orderBy("doc_id", "span_start")
+        # keep-first via partial-aggregable min(struct) + equi-join —
+        # NOT a row_number window: a viral paragraph duplicated 1e9
+        # times would pile into one window partition (unsplittable
+        # straggler), while the min combines map-side and AQE
+        # skew-join splits the hot key on the join (r7; same shape as
+        # dedup_lines)
+        firsts = keyed.groupBy(*key_names).agg(
+            F.min(F.struct("doc_id", "span_start")).alias("f"),
+            F.count("*").alias("c"),
+        )
         spans = (
-            keyed.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") > 1)
+            keyed.join(firsts.where(F.col("c") >= 2), key_names)
+            .where(
+                (F.col("doc_id") != F.col("f.doc_id"))
+                | (F.col("span_start") != F.col("f.span_start"))
+            )
             .select("doc_id", "span_start", "span_end")
         )
     kill = spans.select(
@@ -837,10 +851,15 @@ def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
     lines pass through verbatim.
 
     Scale shape: the duplicate decision shuffles ONLY 8-byte md5-int
-    line keys plus (doc_id, line_no) — one window exchange (or one
-    groupBy for keep="none"); line TEXT moves once, in the final
-    doc_id-keyed rebuild groupBy, which is the output's own volume and
-    therefore the minimum possible.  The 60-bit key is
+    line keys plus (doc_id, line_no); line TEXT moves once, in the
+    final doc_id-keyed rebuild groupBy, which is the output's own
+    volume and therefore the minimum possible.  keep="first" is a
+    PARTIAL-AGGREGABLE ``min(struct(doc_id, line_no))`` per key + an
+    equi-join back — deliberately NOT a row_number window: a
+    corpus-wide hot line (a cookie banner on 1e11 documents) would
+    pile every occurrence into one window partition, a straggler AQE
+    cannot split, whereas the min combines map-side and the join's
+    hot key is exactly what AQE skew-join splits.  The 60-bit key is
     collision-silent like the span key (:func:`_shingle_int` bound) —
     a collision wrongly cuts one line per ~2^61 line pairs."""
     if keep not in ("none", "first"):
@@ -854,23 +873,23 @@ def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
         "line_no",
         _shingle_int("line").alias("line_key"),
     )
+    firsts = keyed.groupBy("line_key").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("f"),
+        F.count("*").alias("c"),
+    )
     if keep == "first":
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("line_key").orderBy("doc_id", "line_no")
         kill = (
-            keyed.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") > 1)
+            keyed.join(firsts.where(F.col("c") >= 2), "line_key")
+            .where(
+                (F.col("doc_id") != F.col("f.doc_id"))
+                | (F.col("line_no") != F.col("f.line_no"))
+            )
             .select("doc_id", "line_no")
         )
     else:
-        hot = (
-            keyed.groupBy("line_key")
-            .agg(F.count("*").alias("c"))
-            .where(F.col("c") >= 2)
-            .select("line_key")
-        )
-        kill = keyed.join(hot, "line_key").select("doc_id", "line_no")
+        kill = keyed.join(
+            firsts.where(F.col("c") >= 2).select("line_key"), "line_key"
+        ).select("doc_id", "line_no")
     kept = lines.join(kill, ["doc_id", "line_no"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(

@@ -209,3 +209,56 @@ def test_salt_auto_spreads_identical_rows_from_files(spark, tmp_path):
         .count()
     )
     assert n_mem == 1
+
+
+def test_keep_first_dedup_paths_have_no_window(spark):
+    """r7 skew hardening: the keep-first decisions in dedup_lines and
+    cut_dup_spans must plan as partial-aggregable min(struct) +
+    equi-join, NEVER a row_number window keyed on line/span hash — a
+    corpus-wide hot line (cookie banner on 1e11 docs) piles every
+    occurrence into one window partition, an unsplittable straggler,
+    while HashAggregate combines map-side and AQE splits the join.
+    Also exercises the hot-key case: one boilerplate line on EVERY doc
+    plus per-doc unique lines — exactly one global copy survives."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from lean_explore_spark.operators import dedup as D
+
+    rows = [
+        (i, f"unique line {i} alpha beta\nBOILER PLATE ACCEPT COOKIES")
+        for i in range(1, 2001)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.dedup_lines(docs, keep="first")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+    res = {r.doc_id: r.n_removed_lines for r in out.collect()}
+    assert res[1] == 0                      # global first copy kept
+    assert all(res[i] == 1 for i in range(2, 2001))
+    assert sum(res.values()) == 1999
+
+    # span path: same plan promise
+    span_docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(8)) + f" tail{i}")
+         for i in range(1, 51)],
+        "doc_id long, text string",
+    )
+    cut = D.cut_dup_spans(span_docs, keep="first")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cut.explain(mode="simple")
+    # dup_span_runs' gaps-and-islands window is doc_id-keyed (bounded
+    # by doc length — fine); what must NOT exist is a window keyed on
+    # the span hash
+    for line in buf.getvalue().splitlines():
+        if "Window" in line:
+            assert "span_key" not in line, line
