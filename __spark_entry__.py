@@ -22,7 +22,9 @@ Coverage map (SURVEY.md §2 + training-data ops):
   (corpus-unigram LM scoring, integer micro-nat quantization),
   line_dedup (CCNet corpus-wide duplicate-line removal, keep-first),
   decontaminate (8-gram overlap vs a probe set), pack_sequences
-  (training-sequence packing via two-phase parallel prefix sum)
+  (training-sequence packing via two-phase parallel prefix sum),
+  pii_scrub (ROOTS/FineWeb anonymization — RE2∩Java-subset patterns
+  spliced verbatim into the oracle)
 * similarity: cosine_topk (brute force), lsh_buckets (integer-exact
   plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
 * hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →
@@ -67,6 +69,7 @@ from lean_explore_spark.operators import dedup as D  # noqa: E402
 from lean_explore_spark.operators import graph as G  # noqa: E402
 from lean_explore_spark.operators import merge_ops as MG  # noqa: E402
 from lean_explore_spark.operators import multimodal as M  # noqa: E402
+from lean_explore_spark.operators import pii as PII  # noqa: E402
 from lean_explore_spark.operators import relational as R  # noqa: E402
 from lean_explore_spark.operators import similarity as S  # noqa: E402
 from lean_explore_spark.operators import textstats as T  # noqa: E402
@@ -306,6 +309,49 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "doc_id", WN.canonical_url(F.col("url")).alias("canonical_url")
     )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministic PII-bearing fixture.
+
+    The synthetic corpus carries no PII, so the fixture derives
+    emails / IPv4s / phones from customer columns with pure integer
+    arithmetic + string concat (the oracle builds the byte-identical
+    fixture in SQL); counts vary per row (1–2 emails, 0–1 IPs) so the
+    hash actually exercises the counters, not a constant column.
+    """
+    import pyspark.sql.functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", ".")),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        (k % 90 + 10).cast("string"), F.lit("-"),
+        (k % 900 + 100).cast("string"), F.lit("-"),
+        ((k * 7) % 900 + 100).cast("string"), F.lit("-"),
+        ((k * 13) % 9000 + 1000).cast("string"),
+    )
+    ip = F.concat(
+        F.lit("10."), (k % 200).cast("string"),
+        F.lit(".0."), (k % 250).cast("string"),
+    )
+    text = F.concat(
+        F.lit("reach "), email,
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit(" cc admin"), k.cast("string"), F.lit("@corp.net")),
+        ).otherwise(F.lit("")),
+        F.lit(" or call "), phone,
+        F.when(k % 4 == 1, F.concat(F.lit(" from host "), ip)).otherwise(
+            F.lit(" offline")
+        ),
+        F.lit(" segment "), F.lower(F.col("c_mktsegment")),
+    )
+    fixture = cust.select(k.alias("doc_id"), text.alias("text"))
+    return PII.scrub_pii(fixture)
 
 
 def q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         # web-payload URL canonicalization (webnorm.canonical_url)
         "url_canonical": q_url_canonical,
+        # PII scrubbing (emails/IPs/phones → tokens; counts on the
+        # original text) over a deterministic customer-derived fixture
+        "pii_scrub": q_pii_scrub,
         # unified batch/stream windowed event-time aggregation
         "windowed_counts": q_windowed_counts,
         # as-of join (point-in-time lookup; union+window composition)
@@ -1288,6 +1337,48 @@ SELECT d.doc_id,
     AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """
+
+# PII scrubbing (r7): fixture + scrub, both mirrored in SQL.  The
+# patterns are textually THE SAME constants the engine compiles
+# (pii.RULES) — spliced below, not retyped — inside the
+# RE2 ∩ java.util.regex subset; DuckDB needs the explicit 'g' flag
+# where Spark's regexp_replace is global by default.
+_PII_SCRUB_SQL_TEMPLATE = r"""
+WITH fixture AS (
+  SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+         'reach ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+         || '@example.com'
+         || CASE WHEN c_custkey % 3 = 0
+                 THEN ' cc admin' || CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)
+                      || '@corp.net'
+                 ELSE '' END
+         || ' or call '
+         || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+         || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+         || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR) || '-'
+         || CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR)
+         || CASE WHEN c_custkey % 4 = 1
+                 THEN ' from host 10.' || CAST(c_custkey % 200 AS VARCHAR)
+                      || '.0.' || CAST(c_custkey % 250 AS VARCHAR)
+                 ELSE ' offline' END
+         || ' segment ' || lower(c_mktsegment) AS text
+  FROM customer
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '@EMAIL@', '<EMAIL>', 'g'),
+    '@IPV4@', '<IP>', 'g'),
+    '@PHONE@', '<PHONE>', 'g') AS text,
+  CAST(len(regexp_extract_all(text, '@EMAIL@')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '@IPV4@')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '@PHONE@')) AS BIGINT) AS n_phone
+FROM fixture
+"""
+_PII_SCRUB_SQL = (
+    _PII_SCRUB_SQL_TEMPLATE.replace("@EMAIL@", PII.EMAIL_RE)
+    .replace("@IPV4@", PII.IPV4_RE)
+    .replace("@PHONE@", PII.PHONE_RE)
+)
 
 # Training-sequence packing (r7): the oracle is the straightforward
 # single-window cumsum (fine at oracle scale); the engine's two-phase
@@ -2175,6 +2266,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),
         "url_canonical": _URL_CANONICAL_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
         "topo_levels": """
 WITH RECURSIVE e AS (
   SELECT doc_id AS src, doc_id // 2 AS dst FROM documents

@@ -31,7 +31,12 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=3_200_000)
     ap.add_argument("--workdir", default="/tmp/scaling")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated stage names to run (default: all)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from scaling import ensure_input
 
@@ -57,6 +62,8 @@ def main() -> None:
     out = {"pages": args.pages, "stages": {}}
 
     def stage(name, fn):
+        if only is not None and name not in only:
+            return
         t0 = time.time()
         res = fn()
         wall = time.time() - t0
@@ -66,6 +73,26 @@ def main() -> None:
             **res,
         }
         print(f"# {name}: {json.dumps(out['stages'][name])}", file=sys.stderr)
+
+    def _pii():
+        # the generated corpus carries no PII, so redactions are ~0 by
+        # construction — the row measures the three-regex scan+rewrite
+        # cost itself (clean-bytes sum forces the regexp_replace chain)
+        from lean_explore_spark.operators import pii as P
+
+        row = (
+            P.scrub_pii(docs)
+            .agg(
+                F.sum(F.length("text")).alias("b"),
+                F.sum(
+                    F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")
+                ).alias("r"),
+            )
+            .collect()[0]
+        )
+        return {"clean_bytes": int(row["b"]), "redactions": int(row["r"])}
+
+    stage("pii_scrub", _pii)
 
     stage(
         "gopher_quality",

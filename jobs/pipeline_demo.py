@@ -6,6 +6,9 @@ the index build at the end.
     raw documents
       → [optional] corpus-wide line dedup, CCNet order
                                          (dedup.dedup_lines)
+      → [optional] PII scrubbing         (pii.scrub_pii — before any
+                                          content statistic sees raw
+                                          text, the ROOTS/FineWeb slot)
       → language ID                      (textstats.lang_id)
       → quality filter (per-lang top-X%) (textstats.quality_topk_per_group)
       → exact dedup                      (dedup.exact_dup_groups winners)
@@ -82,6 +85,7 @@ def run_pipeline(
     span_cut: bool = True,
     span_l: int = 8,
     line_dedup: bool = False,
+    pii: bool = False,
     probes=None,
 ) -> dict:
     """Single-pass composition (r4 VERDICT #1, was graded weak): the
@@ -113,7 +117,7 @@ def run_pipeline(
 
     obs = {
         name: Observation()
-        for name in ("input", "after_line_dedup", "after_quality",
+        for name in ("input", "after_line_dedup", "pii", "after_quality",
                      "after_near_dedup", "span_cut", "after_span_cut",
                      "after_decontaminate", "after_sampling")
     }
@@ -135,6 +139,24 @@ def run_pipeline(
             .where(F.length("clean_text") > 0)
             .select(*keep_cols, F.col("clean_text").alias("text")),
             "after_line_dedup",
+        )
+
+    # 0b. optional PII scrubbing (ROOTS/FineWeb anonymization slot:
+    # before any content statistic sees raw text).  Row-preserving, so
+    # its observer reports redaction totals, not a row count.
+    if pii:
+        from lean_explore_spark.operators import pii as P
+
+        keep_cols = [c for c in docs.columns if c != "text"]
+        docs = (
+            P.scrub_pii(docs)
+            .observe(
+                obs["pii"],
+                F.sum("n_email").alias("n_email"),
+                F.sum("n_ipv4").alias("n_ipv4"),
+                F.sum("n_phone").alias("n_phone"),
+            )
+            .select(*keep_cols, "text")
         )
 
     # 1. language ID (broadcast stopword join; replaces the raw lang
@@ -165,6 +187,16 @@ def run_pipeline(
         **(
             {"after_line_dedup": int(obs["after_line_dedup"].get["n"])}
             if line_dedup
+            else {}
+        ),
+        **(
+            {
+                "pii_redactions": {
+                    k: int(obs["pii"].get[k] or 0)
+                    for k in ("n_email", "n_ipv4", "n_phone")
+                }
+            }
+            if pii
             else {}
         ),
         "after_quality": int(obs["after_quality"].get["n"]),
@@ -314,6 +346,11 @@ def main() -> None:
         "filter, keep-first) as the FIRST stage",
     )
     ap.add_argument(
+        "--pii", action="store_true",
+        help="scrub emails/IPv4s/phones to typed tokens before any "
+        "content stage (operators/pii.py); reports redaction totals",
+    )
+    ap.add_argument(
         "--require-gopher-quality", action="store_true",
         help="also require the full Gopher quality battery to pass "
         "(textstats.gopher_quality); off by default — the synthetic "
@@ -337,6 +374,7 @@ def main() -> None:
         span_cut=not args.no_span_cut,
         require_gopher_quality=args.require_gopher_quality,
         line_dedup=args.line_dedup,
+        pii=args.pii,
     )
     print(json.dumps(out))
 

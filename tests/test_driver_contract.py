@@ -73,6 +73,7 @@ NEW_SINCE_LAST_ROUND: set[str] = {
     "line_dedup",
     "decontaminate",
     "pack_sequences",
+    "pii_scrub",
 }
 
 # The r6 driver omission of record (VERDICT r6 #1): both r5-green,

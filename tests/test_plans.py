@@ -128,13 +128,14 @@ def test_r7_curation_plans_hold_their_shape(spark):
     small side and never sort-merge; pack_sequences' global prefix sum
     must NOT be the single-partition global window."""
     from lean_explore_spark.operators import dedup as D
+    from lean_explore_spark.operators import pii as P
     from lean_explore_spark.operators import textstats as T
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
         "doc_id", "text"
     )
 
-    for op in (T.gopher_quality, T.c4_quality):
+    for op in (T.gopher_quality, T.c4_quality, P.scrub_pii):
         plan = plan_of(op(docs), mode="simple")
         assert "Exchange" not in plan, op.__name__
 

@@ -323,6 +323,49 @@ def test_pipeline_line_dedup_stage(spark, tmp_path):
     assert out["index"]["n_docs"] == c["after_sampling"] == 6
 
 
+def test_pipeline_pii_stage(spark, tmp_path):
+    """Opt-in PII scrub (r7): row-preserving stage before language ID;
+    redaction totals ride the plan as observe metrics and the indexed
+    corpus contains the typed tokens, not the raw PII."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_demo import run_pipeline
+
+    def seq(lo, n):
+        return " ".join(f"w{i}" for i in range(lo, lo + n))
+
+    rows = [
+        (1, f"{seq(0, 40)} mail boss@corp.net or ops@x.io now"),
+        (2, f"{seq(1000, 40)} from 10.1.2.3 call 415-555-123-4567"),
+        (3, seq(2000, 40)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in rows], "doc_id long, lang string, text string"
+    )
+    out = run_pipeline(
+        spark, docs, str(tmp_path / "pidx_pii"),
+        pii=True, repetition_caps={}, span_cut=False,
+        num_shards=2, num_buckets=4,
+    )
+    c = out["counts"]
+    assert c["input"] == 3 and c["after_sampling"] == 3
+    assert c["pii_redactions"] == {"n_email": 2, "n_ipv4": 1, "n_phone": 1}
+    # the staged forward index carries scrubbed text only: the raw
+    # address/number tokens never reach the index, the typed tokens do
+    import pyspark.sql.functions as F  # noqa: N812
+
+    fwd = spark.read.parquet(str(tmp_path / "pidx_pii" / "forward"))
+    terms = fwd.select(F.explode(F.map_keys("tf_map")).alias("t"))
+    # Porter-stable probe tokens (stemmer is identity on these)
+    leaked = terms.where(
+        F.col("t").isin("boss", "corp", "4567", "555")
+    ).count()
+    assert leaked == 0
+    assert terms.where(F.col("t") == "email").count() == 1  # doc 1
+    assert terms.where(F.col("t") == "phone").count() == 1  # doc 2
+
+
 def test_pipeline_decontaminate_stage(spark, tmp_path):
     """Opt-in decontamination stage (r7): a probe set sharing an
     8-gram with one corpus doc removes exactly that doc, counted by
