@@ -46,6 +46,20 @@ def get_spark(
         # don't fsync every parquet file on local/test disks
         .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # long multi-stage pipelines on ONE box accumulate dead shuffle
+        # files (every stage's map output lands on the same local disk
+        # and is only deleted when driver JVM GC collects the
+        # ShuffleDependency); force the ContextCleaner's periodic GC
+        # often enough that superseded-by-persist lineages free their
+        # disk while later stages still run.  A real cluster divides
+        # this footprint across per-node disks — this knob is about the
+        # single-disk test box (r7: the 3.2M composed pipeline's
+        # cumulative shuffle exceeded 52 GB free and killed the final
+        # pack stage).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "10min"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
