@@ -24,7 +24,10 @@ Coverage map (SURVEY.md §2 + training-data ops):
   decontaminate (8-gram overlap vs a probe set), pack_sequences
   (training-sequence packing via two-phase parallel prefix sum),
   pii_scrub (ROOTS/FineWeb anonymization — RE2∩Java-subset patterns
-  spliced verbatim into the oracle)
+  spliced verbatim into the oracle), classifier_score (seed-trained
+  NB log-odds quality classifier — the CCNet/DCLM fastText-stage
+  analog), host_stats (per-host corpus priors over the url_canonical
+  synthesis)
 * similarity: cosine_topk (brute force), lsh_buckets (integer-exact
   plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
 * hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →
@@ -311,6 +314,60 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLF_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-trained NB log-odds quality classifier
+    (operators/classifier.py — the CCNet/DCLM model-based-filter
+    stage).  Seeds: sources src0–src4 positive, the rest negative (a
+    deterministic stand-in for wiki-vs-crawl labels); the WHOLE corpus
+    is then scored.  Weights are differences of integer-micro-nat-
+    quantized ln's (the proven unigram_nll primitive), so the oracle
+    reproduces them bit-exactly."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import classifier as CL
+
+    d = _docs(spark, sf_dir)
+    pos = d.where(F.col("source").isin(*_CLF_POS_SOURCES))
+    neg = d.where(~F.col("source").isin(*_CLF_POS_SOURCES))
+    return CL.classifier_score(d, CL.nb_logodds_weights(pos, neg))
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus priors (webnorm.host_stats) over the SAME
+    deterministic URL synthesis as url_canonical; host extraction
+    strips scheme/userinfo/port and lowercases, so the 5 spelling-
+    variant authorities collapse to 5 clean hosts with n_pages /
+    n_langs / total_chars aggregates."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import webnorm as WN
+
+    d = _docs(spark, sf_dir)
+
+    def pick(options, expr):
+        return F.element_at(
+            F.array(*[F.lit(o) for o in options]),
+            F.expr(f"cast(({expr}) % {len(options)} + 1 as int)"),
+        )
+
+    pages = d.select(
+        "text",
+        "lang",
+        F.concat(
+            pick(_URL_SCHEMES, "doc_id"),
+            F.lit("://"),
+            pick(_URL_HOSTS, "doc_id div 4"),
+            pick(_URL_PATHS, "doc_id div 20"),
+            pick(_URL_QUERIES, "doc_id div 100"),
+            pick(_URL_FRAGS, "doc_id div 500"),
+        ).alias("url"),
+    )
+    return WN.host_stats(pages)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a deterministic PII-bearing fixture.
 
@@ -575,6 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": lambda s, d: T.c4_quality(_docs(s, d)),
         # corpus-unigram LM scoring (CCNet perplexity-filter analog, r7)
         "unigram_nll": lambda s, d: T.unigram_nll(_docs(s, d)),
+        # seed-trained NB log-odds quality classifier (CCNet/DCLM
+        # fastText-stage analog; r7)
+        "classifier_score": q_classifier_score,
         # corpus-wide duplicate-line removal (CCNet boilerplate filter,
         # r7; keep-first stream-order policy)
         "line_dedup": lambda s, d: D.dedup_lines(_docs(s, d)),
@@ -603,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         # web-payload URL canonicalization (webnorm.canonical_url)
         "url_canonical": q_url_canonical,
+        # per-host corpus priors (webnorm.host_stats; r7)
+        "host_stats": q_host_stats,
         # PII scrubbing (emails/IPs/phones → tokens; counts on the
         # original text) over a deterministic customer-derived fixture
         "pii_scrub": q_pii_scrub,
@@ -1252,6 +1314,58 @@ SELECT d.doc_id,
   CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
   CASE WHEN coalesce(a.n, 0) > 0
     THEN round(-a.s / (a.n * 1000000.0), 6) ELSE 0.0 END AS avg_nll
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+# Seed-trained NB log-odds classifier (r7): seeds src0-src4 vs rest,
+# weights = difference of two integer-micro-nat-quantized ln's (the
+# _UNIGRAM_NLL_SQL primitive), integer per-doc accumulation, one final
+# exact-integer division.  All float arithmetic is forced to DOUBLE
+# (DuckDB would otherwise run (cp + 0.5) in DECIMAL).
+_CLASSIFIER_SCORE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+),
+lab AS (
+  SELECT doc_id,
+         source IN ('src0','src1','src2','src3','src4') AS pos
+  FROM documents
+),
+cnt AS (
+  SELECT t.tok,
+         CAST(sum(CASE WHEN l.pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN l.pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tok t JOIN lab l USING (doc_id)
+  GROUP BY t.tok
+),
+tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np,
+         CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cnt
+),
+wq AS (
+  SELECT tok,
+    CAST(round(ln((CAST(cp AS DOUBLE) + 0.5)
+                  / (CAST(np AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+               * 1000000) AS BIGINT)
+    - CAST(round(ln((CAST(cn AS DOUBLE) + 0.5)
+                    / (CAST(nn AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS wq
+  FROM cnt, tot
+),
+agg AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(w.wq), 0) AS BIGINT) AS s,
+         count(*) AS n
+  FROM tok LEFT JOIN wq w USING (tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+  CASE WHEN coalesce(a.n, 0) > 0
+    THEN round(a.s / (a.n * 1000000.0), 6) ELSE 0.0 END AS clf_score
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
@@ -2209,6 +2323,36 @@ SELECT doc_id,
 FROM par
 """
 
+# webnorm.host_stats over the SAME synthesized raw urls: host =
+# lowercase(authority minus userinfo/port), then one group-by.
+_HOST_STATS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, lang, length(text) AS chars,
+    list_extract({_url_list_sql(_URL_SCHEMES)}, CAST(doc_id % 4 + 1 AS BIGINT))
+    || '://' ||
+    list_extract({_url_list_sql(_URL_HOSTS)}, CAST((doc_id // 4) % 5 + 1 AS BIGINT))
+    || list_extract({_url_list_sql(_URL_PATHS)}, CAST((doc_id // 20) % 5 + 1 AS BIGINT))
+    || list_extract({_url_list_sql(_URL_QUERIES)}, CAST((doc_id // 100) % 5 + 1 AS BIGINT))
+    || list_extract({_url_list_sql(_URL_FRAGS)}, CAST((doc_id // 500) % 2 + 1 AS BIGINT))
+    AS url
+  FROM documents
+),
+hosts AS (
+  SELECT lang, chars,
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(
+        regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        '^([^/?#]*)', 1),
+      '^[^@/]*@', ''), ':[0-9]*$', '')) AS host
+  FROM raw
+)
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(chars) AS BIGINT) AS total_chars
+FROM hosts GROUP BY host
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2248,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _GOPHER_QUALITY_SQL,
         "c4_quality": _C4_QUALITY_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
+        "classifier_score": _CLASSIFIER_SCORE_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
@@ -2266,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),
         "url_canonical": _URL_CANONICAL_SQL,
+        "host_stats": _HOST_STATS_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "topo_levels": """
 WITH RECURSIVE e AS (

@@ -84,6 +84,70 @@ def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     return pages.withColumn("canonical_url", canonical_url(F.col(url_col)))
 
 
+def host_of(url: Column) -> Column:
+    """Lowercased host of a URL: the authority minus userinfo and
+    port.  Pure per-row JVM regexp (codegen, no Python, no shuffle).
+
+    No public-suffix registrable-domain reduction — a PSL snapshot is
+    external data this sandbox excludes; at scale, swap the last step
+    for a broadcast join against the PSL table.  Scheme-less strings
+    are treated as host-first (``example.com/x`` → ``example.com``),
+    matching curl/blocklist conventions.
+    """
+    after = F.regexp_replace(
+        F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""
+    )
+    auth = F.regexp_extract(after, r"^([^/?#]*)", 1)
+    auth = F.regexp_replace(auth, r"^[^@/]*@", "")  # userinfo
+    return F.lower(F.regexp_replace(auth, r":[0-9]*$", ""))  # port
+
+
+def host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host corpus priors: (host, n_pages, n_langs, total_chars).
+
+    The host-level view is how web pipelines apply domain quality
+    priors (RefinedWeb §3.1 URL/host filtering; Dolma's per-domain
+    stats): hosts with few pages of one language and sane sizes are
+    kept, link farms and mirrors surface as outliers.  ONE
+    partial-aggregated groupBy(host) — count / count-distinct-lang /
+    sum all combine map-side; host cardinality ≪ page cardinality so
+    the shuffle is tiny and skew-free at any corpus size.
+    """
+    return (
+        pages.select(
+            host_of(F.col(url_col)).alias("host"),
+            "lang",
+            F.length("text").cast("long").alias("_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def filter_hosts(
+    pages: DataFrame, blocked_hosts: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """UT1-style host blocklist: drop pages whose host is listed.
+
+    ``blocked_hosts`` has one column ``host`` (lowercased, as
+    ``host_of`` produces).  Blocklists are small (UT1 adult ≈ 4M
+    rows, a few hundred MB) → ONE BroadcastHashJoin LEFT ANTI, zero
+    shuffle of the corpus; pages keep their original columns.
+    """
+    blk = F.broadcast(
+        blocked_hosts.select(F.col("host").alias("_blk_host")).distinct()
+    )
+    return (
+        pages.withColumn("_host", host_of(F.col(url_col)))
+        .join(blk, F.col("_host") == F.col("_blk_host"), "left_anti")
+        .drop("_host")
+    )
+
+
 def latest_page_per_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """One row per canonical URL: the LATEST crawl (max ``warc_ts``),
     deterministic tie-break on the raw url then remaining columns'

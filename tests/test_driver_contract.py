@@ -74,6 +74,8 @@ NEW_SINCE_LAST_ROUND: set[str] = {
     "decontaminate",
     "pack_sequences",
     "pii_scrub",
+    "classifier_score",
+    "host_stats",
 }
 
 # The r6 driver omission of record (VERDICT r6 #1): both r5-green,

@@ -143,3 +143,55 @@ def test_latest_per_url_on_generated_pages(spark):
     pages = P.generate_pages(spark, 200, partitions=4)
     out = WN.latest_page_per_url(pages)
     assert out.count() == 200
+
+
+# --- host-level ops (r7: host_of / host_stats / filter_hosts) ---
+
+HOST_CASES = [
+    ("https://Example.COM/a", "example.com"),
+    ("http://user:pw@Site.org:8080/x?q=1", "site.org"),
+    ("https://a.net:443/", "a.net"),
+    ("HTTP://B.IO", "b.io"),
+    ("example.com/path", "example.com"),  # scheme-less: host-first
+    ("  https://c.io:80/a#f ", "c.io"),
+]
+
+
+def test_host_of_crafted(spark):
+    df = spark.createDataFrame(
+        [(u,) for u, _ in HOST_CASES], "url string"
+    ).select(WN.host_of(F.col("url")).alias("h"))
+    assert [r["h"] for r in df.collect()] == [h for _, h in HOST_CASES]
+
+
+def test_host_stats_counts(spark):
+    rows = [
+        ("https://A.com/1", "en", "xx"),
+        ("https://a.com:443/2", "en", "yyy"),
+        ("http://a.com:8080/3", "de", "z"),
+        ("https://b.org/1", "en", "wwww"),
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, text string")
+    got = {
+        r["host"]: (r["n_pages"], r["n_langs"], r["total_chars"])
+        for r in WN.host_stats(df).collect()
+    }
+    assert got == {"a.com": (3, 2, 6), "b.org": (1, 1, 4)}
+
+
+def test_filter_hosts_blocklist(spark):
+    rows = [
+        ("https://Bad.com/x", "p1"),
+        ("http://bad.com:8080/y", "p2"),  # port/case variants blocked too
+        ("https://good.com/z", "p3"),
+        ("https://sub.bad.com/w", "p4"),  # subdomain NOT blocked (exact host)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    blk = spark.createDataFrame([("bad.com",)], "host string")
+    out = WN.filter_hosts(pages, blk)
+    assert sorted(r["text"] for r in out.collect()) == ["p3", "p4"]
+    assert out.columns == ["url", "text"]  # original columns preserved
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
