@@ -27,7 +27,10 @@ Coverage map (SURVEY.md §2 + training-data ops):
   spliced verbatim into the oracle), classifier_score (seed-trained
   NB log-odds quality classifier — the CCNet/DCLM fastText-stage
   analog), host_stats (per-host corpus priors over the url_canonical
-  synthesis)
+  synthesis), line_dedup_doc (FineWeb intra-doc repetition cleanup),
+  domain_mix (The Pile/DoReMi mixture-weights sampling to a token
+  budget), shuffle_rank (deterministic global training shuffle +
+  shards), length_quantiles (exact inverse-CDF length profile)
 * similarity: cosine_topk (brute force), lsh_buckets (integer-exact
   plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
 * hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →
@@ -71,6 +74,7 @@ from lean_explore_spark.operators import analyze as A  # noqa: E402
 from lean_explore_spark.operators import dedup as D  # noqa: E402
 from lean_explore_spark.operators import graph as G  # noqa: E402
 from lean_explore_spark.operators import merge_ops as MG  # noqa: E402
+from lean_explore_spark.operators import mixing as MX  # noqa: E402
 from lean_explore_spark.operators import multimodal as M  # noqa: E402
 from lean_explore_spark.operators import pii as PII  # noqa: E402
 from lean_explore_spark.operators import relational as R  # noqa: E402
@@ -638,6 +642,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-wide duplicate-line removal (CCNet boilerplate filter,
         # r7; keep-first stream-order policy)
         "line_dedup": lambda s, d: D.dedup_lines(_docs(s, d)),
+        # WITHIN-doc duplicate-line removal (FineWeb intra-doc
+        # repetition cleanup; r7 — grouping key includes doc_id so no
+        # corpus-wide hot key can exist)
+        "line_dedup_doc": lambda s, d: D.dedup_lines(
+            _docs(s, d), scope="doc"
+        ),
+        # domain mixing to a token budget (The Pile / DoReMi / DCLM
+        # mixture-weights stage; r7) — all-integer rates, corpus never
+        # shuffles
+        "domain_mix": lambda s, d: MX.domain_mix(
+            _docs(s, d), _MIX_WEIGHTS_PPM, budget_tokens=_MIX_BUDGET
+        ),
+        # deterministic global training shuffle + fixed-size shards
+        # (r7) — two-phase parallel rank, never a global-orderBy window
+        "shuffle_rank": lambda s, d: MX.shuffle_rank(
+            _docs(s, d), shard_docs=64
+        ),
+        # EXACT corpus token-length quantiles via the length-histogram
+        # cumsum (inverse empirical CDF, integer math; r7)
+        "length_quantiles": lambda s, d: T.length_quantiles(_docs(s, d)),
         # benchmark decontamination (8-gram overlap vs a probe set —
         # the deterministic 2% hash sample stands in for an eval
         # suite; r7)
@@ -1399,6 +1423,135 @@ SELECT d.doc_id,
   CAST(len(string_split(d.text, chr(10))) - coalesce(g.n_kept, 0)
        AS BIGINT) AS n_removed_lines
 FROM documents d LEFT JOIN grouped g USING (doc_id)
+"""
+
+# WITHIN-doc duplicate-line removal (r7): same hash-free line-text
+# oracle, keep-first window restricted to (doc_id, line).
+_LINE_DEDUP_DOC_SQL = r"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10)))))
+           AS line_no
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (
+           PARTITION BY doc_id, line ORDER BY line_no
+         ) AS rn
+  FROM lines
+),
+kept AS (SELECT doc_id, line_no, line FROM ranked WHERE rn = 1),
+grouped AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(g.clean_text, '') AS clean_text,
+  CAST(len(string_split(d.text, chr(10))) - coalesce(g.n_kept, 0)
+       AS BIGINT) AS n_removed_lines
+FROM documents d LEFT JOIN grouped g USING (doc_id)
+"""
+
+# Domain mixing to a token budget (r7).  Weights/budget are the SAME
+# constants the queries() entry passes to mixing.domain_mix — spliced
+# into the SQL so both engines compute rate_ppm = min(1e6,
+# (budget*w) // domain_tokens) in integers, then hash-threshold with
+# the standard fold15 md5 (salt 'mix0').  Sources outside the weight
+# map get rate 0 (dropped); an empty domain keeps rate 1e6.
+_MIX_WEIGHTS_PPM = {
+    "src0": 300_000,
+    "src1": 200_000,
+    "src2": 100_000,
+    "src3": 50_000,
+    "src4": 50_000,
+    "src5": 25_000,
+}
+_MIX_BUDGET = 6_000
+
+_mix_w_case = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS_PPM.items())
+)
+_DOMAIN_MIX_SQL = f"""
+WITH digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+hx AS (
+  SELECT doc_id,
+         CAST(sum((strpos('0123456789abcdef',
+               substr(md5('mix0:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT)
+           % 1000000 AS h
+  FROM documents CROSS JOIN digits
+  GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, source AS domain,
+         CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT)
+           AS n_tokens,
+         CAST(CASE source {_mix_w_case} ELSE 0 END AS BIGINT) AS w
+  FROM documents
+),
+rates AS (
+  SELECT domain,
+         CASE WHEN sum(n_tokens) = 0 THEN 1000000
+              ELSE least(1000000,
+                   ({_MIX_BUDGET} * max(w)) // CAST(sum(n_tokens) AS BIGINT))
+         END AS rate_ppm
+  FROM tok GROUP BY domain
+)
+SELECT t.doc_id, t.domain, t.n_tokens,
+       CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+FROM tok t JOIN rates r USING (domain) JOIN hx USING (doc_id)
+WHERE hx.h < r.rate_ppm
+"""
+
+# Deterministic global training shuffle (r7): rank over the full
+# fold15 hash (salt 'shuf0', no modulus), doc_id tie-break; shards of
+# 64 docs via integer //.
+_SHUFFLE_RANK_SQL = """
+WITH digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+hx AS (
+  SELECT doc_id,
+         CAST(sum((strpos('0123456789abcdef',
+               substr(md5('shuf0:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS h
+  FROM documents CROSS JOIN digits
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+           AS shuffle_rank
+  FROM hx
+)
+SELECT doc_id, shuffle_rank,
+       CAST(shuffle_rank // 64 AS BIGINT) AS shard
+FROM ranked
+"""
+
+# EXACT corpus token-length quantiles (r7): inverse empirical CDF on
+# the length histogram, ceil in integers, min value whose cumulative
+# count reaches the target.
+_LENGTH_QUANTILES_SQL = r"""
+WITH hist AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT n,
+         CAST(sum(c) OVER (ORDER BY n) AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS total
+  FROM hist
+),
+p AS (SELECT unnest([250, 500, 750, 900, 990]) AS p_permille)
+SELECT CAST(p_permille AS BIGINT) AS p_permille,
+       CAST(min(n) AS BIGINT) AS q_tokens
+FROM cum CROSS JOIN p
+WHERE cum >= (p_permille * total + 999) // 1000
+GROUP BY p_permille
 """
 
 # Benchmark decontamination (r7): probe set = the md5-fold hash sample
@@ -2394,6 +2547,10 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": _UNIGRAM_NLL_SQL,
         "classifier_score": _CLASSIFIER_SCORE_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "line_dedup_doc": _LINE_DEDUP_DOC_SQL,
+        "domain_mix": _DOMAIN_MIX_SQL,
+        "shuffle_rank": _SHUFFLE_RANK_SQL,
+        "length_quantiles": _LENGTH_QUANTILES_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,

@@ -836,7 +836,9 @@ def cut_dup_spans(
     )
 
 
-def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
+def dedup_lines(
+    docs: DataFrame, keep: str = "first", scope: str = "corpus"
+) -> DataFrame:
     """Corpus-wide duplicate-LINE removal — the CCNet / RefinedWeb
     boilerplate filter (Wenzek et al. 2019 dedups paragraphs by hash
     before anything else; cookie banners and nav junk are cross-site
@@ -861,9 +863,19 @@ def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
     cannot split, whereas the min combines map-side and the join's
     hot key is exactly what AQE skew-join splits.  The 60-bit key is
     collision-silent like the span key (:func:`_shingle_int` bound) —
-    a collision wrongly cuts one line per ~2^61 line pairs."""
+    a collision wrongly cuts one line per ~2^61 line pairs.
+
+    ``scope="doc"`` restricts the duplicate decision to WITHIN each
+    document (FineWeb's intra-doc repetition cleanup: a nav block
+    pasted twice in one page) — a line is cut only when its text
+    repeats inside the SAME doc.  The grouping key becomes
+    (doc_id, line_key), which is perfectly distributed by
+    construction (no corpus-wide hot key can exist), so the plan is
+    the same shape with strictly better skew properties."""
     if keep not in ("none", "first"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"unknown scope {scope!r}")
     lines = docs.select(
         "doc_id",
         F.posexplode(F.expr("split(text, '\n')")).alias("line_no", "line"),
@@ -873,13 +885,14 @@ def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
         "line_no",
         _shingle_int("line").alias("line_key"),
     )
-    firsts = keyed.groupBy("line_key").agg(
+    grp = ["line_key"] if scope == "corpus" else ["doc_id", "line_key"]
+    firsts = keyed.groupBy(*grp).agg(
         F.min(F.struct("doc_id", "line_no")).alias("f"),
         F.count("*").alias("c"),
     )
     if keep == "first":
         kill = (
-            keyed.join(firsts.where(F.col("c") >= 2), "line_key")
+            keyed.join(firsts.where(F.col("c") >= 2), grp)
             .where(
                 (F.col("doc_id") != F.col("f.doc_id"))
                 | (F.col("line_no") != F.col("f.line_no"))
@@ -888,7 +901,7 @@ def dedup_lines(docs: DataFrame, keep: str = "first") -> DataFrame:
         )
     else:
         kill = keyed.join(
-            firsts.where(F.col("c") >= 2).select("line_key"), "line_key"
+            firsts.where(F.col("c") >= 2).select(*grp), grp
         ).select("doc_id", "line_no")
     kept = lines.join(kill, ["doc_id", "line_no"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(

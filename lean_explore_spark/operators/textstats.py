@@ -10,7 +10,7 @@ shuffles more than one row per (doc, token-class).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -724,4 +724,61 @@ def pack_sequences(docs: DataFrame, budget: int = 4096) -> DataFrame:
             ),
             F.expr(f"_end div {budget}").cast("long").alias("last_seq"),
         )
+    )
+
+
+def length_quantiles(
+    docs: DataFrame, ps_permille: Sequence[int] = (250, 500, 750, 900, 990)
+) -> DataFrame:
+    """(p_permille, q_tokens): EXACT token-length quantiles of the
+    corpus — the length profile a pipeline needs to pick packing
+    budgets, truncation limits, and Gopher word-count bounds.
+
+    Exact, not approximate: ``percentile_approx``'s sketch answer
+    depends on merge order and has no DuckDB twin, so this computes
+    the inverse empirical CDF (SQL type-1 / ``quantile_disc``
+    semantics) in all-integer arithmetic: ``q_p`` = the smallest
+    length whose cumulative doc count reaches ``ceil(p * N / 1000)``.
+
+    Scale shape: the corpus collapses to a LENGTH HISTOGRAM first —
+    one narrow token count + ONE partial-aggregated
+    ``groupBy(n_tokens)`` whose output cardinality is bounded by the
+    longest document (≤ ~10^6 distinct lengths whatever the corpus
+    size), NOT by corpus rows.  The cumulative window then runs on
+    that tiny relation (single-partition Window — safe ONLY because
+    of the histogram bound; this is the documented exception to the
+    no-global-window rule, same as pack_sequences' offsets table).
+    The probe list is a handful of literals crossed against the
+    histogram with a partial-aggregable min.
+    """
+    from pyspark.sql import Window
+
+    for p in ps_permille:
+        if not 0 < int(p) <= 1000:
+            raise ValueError(f"p_permille out of (0, 1000]: {p}")
+    hist = (
+        docs.select(F.size(F.expr(SQL_TOKENS)).cast("long").alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy())
+    )
+    probes = F.array(*[F.lit(int(p)) for p in sorted(set(ps_permille))])
+    return (
+        cum.select(
+            "n",
+            "cum",
+            "total",
+            F.explode(probes).alias("p_permille"),
+        )
+        # ceil(p*N/1000) in integers: (p*N + 999) div 1000
+        .where(
+            F.col("cum")
+            >= F.expr("(p_permille * total + 999) div 1000")
+        )
+        .groupBy("p_permille")
+        .agg(F.min("n").cast("long").alias("q_tokens"))
+        .select(F.col("p_permille").cast("long"), "q_tokens")
     )

@@ -76,6 +76,10 @@ NEW_SINCE_LAST_ROUND: set[str] = {
     "pii_scrub",
     "classifier_score",
     "host_stats",
+    "line_dedup_doc",
+    "domain_mix",
+    "shuffle_rank",
+    "length_quantiles",
 }
 
 # The r6 driver omission of record (VERDICT r6 #1): both r5-green,
