@@ -43,6 +43,7 @@ def main() -> None:
     import pyspark.sql.functions as F
 
     from lean_explore_spark.operators import dedup as D
+    from lean_explore_spark.operators import mixing as MXS
     from lean_explore_spark.operators import textstats as T
     from lean_explore_spark.pyfiles import ensure_py_files
     from lean_explore_spark.session import get_spark
@@ -163,6 +164,103 @@ def main() -> None:
             + 1
         },
     )
+
+    def _line_dedup_doc():
+        row = (
+            D.dedup_lines(docs, scope="doc")
+            .agg(
+                F.sum(F.length("clean_text")).alias("b"),
+                F.sum("n_removed_lines").alias("r"),
+            )
+            .collect()[0]
+        )
+        return {"clean_bytes": int(row["b"]), "removed_lines": int(row["r"])}
+
+    stage("line_dedup_doc", _line_dedup_doc)
+
+    def _classifier():
+        # production shape: tiny labeled seeds (two disjoint 1%
+        # hash-samples stand in for wiki-vs-crawl), the WHOLE corpus
+        # scored through the broadcast weight table
+        from lean_explore_spark.operators import classifier as CL
+
+        pos = hash_sample(docs, 10, salt="clfpos")
+        neg = hash_sample(docs, 10, salt="clfneg")
+        w = CL.nb_logodds_weights(pos, neg)
+        row = (
+            CL.classifier_score(docs, w)
+            .agg(
+                F.sum("n_tokens").alias("t"),
+                F.sum((F.col("clf_score") > 0).cast("long")).alias("p"),
+            )
+            .collect()[0]
+        )
+        return {"scored_tokens": int(row["t"]), "positive_docs": int(row["p"])}
+
+    stage("classifier_score", _classifier)
+
+    def _domain_mix():
+        # language rebalancing: the corpus is ~75% en — equal weights
+        # + a 100M-token budget downsample en hard and cap the rest
+        from lean_explore_spark.operators import mixing as MX
+
+        lang_docs = spark.read.parquet(str(inp)).select(
+            "doc_id", "text", "lang"
+        )
+        kept = MX.domain_mix(
+            lang_docs,
+            {"en": 250_000, "de": 250_000, "zh": 250_000, "fr": 250_000},
+            budget_tokens=100_000_000,
+            domain_col="lang",
+        )
+        rows = (
+            kept.groupBy("domain")
+            .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+            .collect()
+        )
+        return {
+            "kept_tokens": {r["domain"]: int(r["t"]) for r in rows},
+            "kept_docs": int(sum(r["n"] for r in rows)),
+        }
+
+    stage("domain_mix", _domain_mix)
+
+    stage(
+        "shuffle_rank",
+        lambda: {
+            # max rank == n-1 proves the permutation is complete and
+            # forces the two-phase rank end to end
+            "max_rank": int(
+                MXS.shuffle_rank(docs, shard_docs=65536)
+                .agg(F.max("shuffle_rank"))
+                .collect()[0][0]
+            )
+        },
+    )
+
+    stage(
+        "length_quantiles",
+        lambda: {
+            "quantiles": {
+                int(r["p_permille"]): int(r["q_tokens"])
+                for r in T.length_quantiles(docs).collect()
+            }
+        },
+    )
+
+    def _host_stats():
+        from lean_explore_spark.operators import webnorm as WN
+
+        pages = spark.read.parquet(str(inp)).select("url", "lang", "text")
+        rows = (
+            WN.host_stats(pages)
+            .agg(F.count("*").alias("h"), F.sum("n_pages").alias("p"))
+            .collect()[0]
+        )
+        return {"hosts": int(rows["h"]), "pages": int(rows["p"])}
+
+    stage("host_stats", _host_stats)
+
     print(json.dumps(out))
 
 

@@ -24,7 +24,17 @@ the index build at the end.
       → [optional] benchmark decontamination vs a probe set
                                          (dedup.decontaminate)
       → stratified hash sampling         (textstats.stratified_hash_sample)
+      → [optional] domain mixing to a token budget
+                                         (mixing.domain_mix)
       → inverted-index build             (index.builder.IndexBuilder)
+      → [optional] training-shard emit: deterministic global shuffle →
+        fixed-size parquet shards        (mixing.shuffle_rank; runs
+        after the build so every observe counter is pinned by the
+        builder's single-traversal pass — see step 9)
+
+A seed-trained NB log-odds classifier filter (operators/classifier.py,
+the CCNet/DCLM model-based stage) slots in after the heuristic quality
+filter when ``classifier=(pos_seed, neg_seed, min_score)`` is passed.
 
 The Gopher-filter + span-cut stages (r7, VERDICT r6 #2) sit between
 near-dup removal and sampling — the slot the reference's phase chain
@@ -87,6 +97,10 @@ def run_pipeline(
     line_dedup: bool = False,
     pii: bool = False,
     probes=None,
+    classifier: tuple | None = None,
+    mix: tuple | None = None,
+    shards_out: str | None = None,
+    shard_docs: int = 1024,
 ) -> dict:
     """Single-pass composition (r4 VERDICT #1, was graded weak): the
     per-stage row counts ride the plan as ``df.observe`` counters
@@ -118,8 +132,9 @@ def run_pipeline(
     obs = {
         name: Observation()
         for name in ("input", "after_line_dedup", "pii", "after_quality",
-                     "after_near_dedup", "span_cut", "after_span_cut",
-                     "after_decontaminate", "after_sampling")
+                     "after_classifier", "after_near_dedup", "span_cut",
+                     "after_span_cut", "after_decontaminate",
+                     "after_sampling", "after_mix", "emitted")
     }
 
     def observed(df, name):
@@ -172,6 +187,23 @@ def run_pipeline(
         docs = docs.join(kept, "doc_id")
     docs = observed(docs, "after_quality")
 
+    # 2b. optional model-based quality filter (the CCNet/DCLM
+    # fastText-stage slot): a seed-trained NB log-odds classifier
+    # scores every doc, keep score >= min_score.  The score is per-doc
+    # and invariant to which other docs survive, so it computes BEFORE
+    # the exact-dedup persist and rides materialization #1.
+    if classifier is not None:
+        from lean_explore_spark.operators import classifier as CL
+
+        pos_seed, neg_seed, min_score = classifier
+        w = CL.nb_logodds_weights(pos_seed, neg_seed)
+        ok = (
+            CL.classifier_score(docs.select("doc_id", "text"), w)
+            .where(F.col("clf_score") >= F.lit(float(min_score)))
+            .select("doc_id")
+        )
+        docs = observed(docs.join(ok, "doc_id"), "after_classifier")
+
     # 3. exact dedup: keep first-writer canonical per content hash
     winners = D.exact_dup_groups(docs).select(
         F.col("canonical_doc_id").alias("doc_id")
@@ -200,6 +232,11 @@ def run_pipeline(
             else {}
         ),
         "after_quality": int(obs["after_quality"].get["n"]),
+        **(
+            {"after_classifier": int(obs["after_classifier"].get["n"])}
+            if classifier is not None
+            else {}
+        ),
         **counts,
     }
 
@@ -293,6 +330,19 @@ def run_pipeline(
         "after_sampling",
     )
 
+    # 7b. optional domain mixing to a token budget (The Pile/DoReMi
+    # mixture-weights stage) — the tiny per-domain rate aggregate reads
+    # the persisted stage2 upstream, the corpus side is a narrow
+    # broadcast-join filter.
+    if mix is not None:
+        from lean_explore_spark.operators import mixing as MX
+
+        mix_weights, mix_budget = mix
+        kept = MX.domain_mix(
+            docs, mix_weights, mix_budget, domain_col="lang"
+        ).select("doc_id")
+        docs = observed(docs.join(kept, "doc_id"), "after_mix")
+
     # 8. index build over the cleaned corpus — its first internal
     # action (the bounds aggregate) is full-pass, so the post-dedup
     # counters ride it for free
@@ -304,6 +354,38 @@ def run_pipeline(
         num_shards=num_shards,
         num_buckets=num_buckets,
     ).build(docs.select("doc_id", "text"), resume=False)
+
+    # 9. optional training-shard emit: deterministic global shuffle →
+    # fixed-size shards written as partitioned parquet, ordered by
+    # shuffle_rank within each shard — the file set a trainer's data
+    # loader consumes.  Two deliberate placements:
+    # (a) keep_cols=True — ranking ids and joining back would traverse
+    #     the whole pipeline lineage TWICE in one action; this is one
+    #     traversal with the payload riding the range shuffle it needs
+    #     anyway.
+    # (b) AFTER the index build — shuffle_rank's offset aggregate
+    #     consumes its input subtree a second time, and a CollectMetrics
+    #     node evaluated twice in one action accumulates twice
+    #     (measured: a post-mix counter read 2× its true value when the
+    #     emit ran first).  Observation keeps the FIRST action's value,
+    #     so running the builder's single-traversal pass first pins
+    #     every upstream counter to the truth; only the emit's own
+    #     top-of-plan counter (consumed exactly once) is read from this
+    #     action.  Readers are gated by _SUCCESS (v2-committer
+    #     invariant).
+    if shards_out:
+        from lean_explore_spark.operators import mixing as MX
+
+        emit = MX.shuffle_rank(
+            docs, shard_docs=shard_docs, keep_cols=True
+        ).observe(obs["emitted"], F.count(F.lit(1)).alias("n"))
+        (
+            emit.repartition("shard")
+            .sortWithinPartitions("shuffle_rank")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(shards_out)
+        )
     if span_cut:
         counts["span_removed_tokens"] = int(
             obs["span_cut"].get["removed_tokens"]
@@ -316,6 +398,11 @@ def run_pipeline(
             obs["after_decontaminate"].get["n"]
         )
     counts["after_sampling"] = int(obs["after_sampling"].get["n"])
+    if mix is not None:
+        counts["after_mix"] = int(obs["after_mix"].get["n"])
+    if shards_out:
+        counts["emitted_docs"] = int(obs["emitted"].get["n"])
+        counts["shards_out"] = shards_out
     stage2.unpersist()  # = cached when span_cut is off (r5 hygiene)
     return {
         "counts": counts,
@@ -356,6 +443,23 @@ def main() -> None:
         "(textstats.gopher_quality); off by default — the synthetic "
         "corpus fails the stop-word rule wholesale",
     )
+    ap.add_argument(
+        "--classifier-min-score", type=float, default=None,
+        help="enable the seed-trained NB classifier filter, keeping "
+        "docs with mean token log-odds >= this value (seeds: disjoint "
+        "2%% hash samples split by the input lang column)",
+    )
+    ap.add_argument(
+        "--mix-budget", type=int, default=None,
+        help="enable domain mixing on the lang column with equal "
+        "weights to this total token budget (mixing.domain_mix)",
+    )
+    ap.add_argument(
+        "--emit-shards", default=None,
+        help="also write the final corpus as shuffled fixed-size "
+        "parquet shards under this directory (mixing.shuffle_rank)",
+    )
+    ap.add_argument("--shard-docs", type=int, default=1024)
     args = ap.parse_args()
 
     from lean_explore_spark.session import get_spark
@@ -366,6 +470,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.input)
+
+    classifier = None
+    if args.classifier_min_score is not None:
+        from lean_explore_spark.operators.textstats import hash_sample
+
+        seeds = hash_sample(docs.select("doc_id", "text", "lang"), 20,
+                            salt="clfseed")
+        classifier = (
+            seeds.where(F.col("lang") == "en").select("doc_id", "text"),
+            seeds.where(F.col("lang") != "en").select("doc_id", "text"),
+            args.classifier_min_score,
+        )
+    mix = None
+    if args.mix_budget is not None:
+        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+        mix = ({lg: 1_000_000 // len(langs) for lg in langs},
+               args.mix_budget)
+
     out = run_pipeline(
         spark,
         docs,
@@ -375,6 +497,10 @@ def main() -> None:
         require_gopher_quality=args.require_gopher_quality,
         line_dedup=args.line_dedup,
         pii=args.pii,
+        classifier=classifier,
+        mix=mix,
+        shards_out=args.emit_shards,
+        shard_docs=args.shard_docs,
     )
     print(json.dumps(out))
 

@@ -169,6 +169,7 @@ def shuffle_rank(
     salt: str = "shuf0",
     shard_docs: int = 0,
     id_col: str = "doc_id",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """(doc_id, shuffle_rank[, shard]): deterministic global shuffle.
 
@@ -184,13 +185,26 @@ def shuffle_rank(
     Scale: two narrow shuffles (repartitionByRange + the tiny offset
     aggregate) — see module docstring; integer ``div`` for the shard
     split (ranks reach 10^13).
+
+    ``keep_cols=True`` threads EVERY input column through the rank
+    computation and returns them alongside the rank — the emit-sink
+    shape: ranking ids and joining back would re-traverse the whole
+    upstream lineage a second time (two full pipeline computations at
+    corpus scale, and any ``observe`` counter in that lineage would
+    double-fire inside the self-joined action), whereas keep_cols is
+    ONE traversal with the payload riding the single range shuffle it
+    must make anyway to be written in shuffled order.
     """
     from pyspark.sql import Window
 
+    cols = list(docs.columns) if keep_cols else [id_col]
+    for reserved in ("_h", "_pid", "_local_rank"):
+        if reserved in cols:
+            raise ValueError(f"input column {reserved!r} is reserved")
     sc = docs.sparkSession.sparkContext
     nparts = max(2, sc.defaultParallelism)
     hashed = docs.select(
-        id_col, fold15(F.col(id_col), salt).alias("_h")
+        *cols, fold15(F.col(id_col), salt).alias("_h")
     ).repartitionByRange(nparts, "_h", id_col)
     hashed = hashed.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy("_h", id_col)
@@ -204,7 +218,7 @@ def shuffle_rank(
         .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_offset"))
     )
     out = local.join(F.broadcast(offsets), "_pid").select(
-        id_col,
+        *cols,
         (F.col("_offset") + F.col("_local_rank") - 1)
         .cast("long")
         .alias("shuffle_rank"),

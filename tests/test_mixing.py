@@ -216,3 +216,21 @@ def test_dedup_lines_scope_validation(spark):
     df = spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
     with pytest.raises(ValueError, match="scope"):
         D.dedup_lines(df, scope="paragraph")
+
+
+def test_shuffle_rank_keep_cols(spark):
+    rows = [(i, f"t{i}", "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = M.shuffle_rank(df, shard_docs=8, keep_cols=True)
+    assert out.columns == ["doc_id", "text", "lang", "shuffle_rank", "shard"]
+    got = {r["doc_id"]: r for r in out.collect()}
+    base = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in M.shuffle_rank(df).collect()
+    }
+    for i, t, lg in rows:
+        assert got[i]["shuffle_rank"] == base[i]  # same permutation
+        assert (got[i]["text"], got[i]["lang"]) == (t, lg)
+
+    with pytest.raises(ValueError, match="reserved"):
+        M.shuffle_rank(df.withColumn("_pid", F.lit(1)), keep_cols=True)

@@ -407,3 +407,62 @@ def test_pipeline_decontaminate_stage(spark, tmp_path):
     }
     assert flagged == {1}
     assert out["index"]["n_docs"] == c["after_sampling"] == 5
+
+
+def test_pipeline_demo_assembly_stages(spark, tmp_path):
+    """r7 assembly stages composed: classifier filter → domain mix →
+    shuffled shard emit.  after_classifier matches the standalone
+    operator's keep set; emitted shards hold exactly the final corpus
+    with a complete 0..n-1 rank permutation and rank-derived shard
+    ids; the index is built over the same survivors."""
+    import sys
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_demo import run_pipeline
+
+    from lean_explore_spark.operators import classifier as CL
+    from lean_explore_spark.operators.textstats import hash_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    seeds = hash_sample(docs, 100, salt="asm")  # 10% labeled seeds
+    pos = seeds.where(F.col("lang") == "en").select("doc_id", "text")
+    neg = seeds.where(F.col("lang") != "en").select("doc_id", "text")
+    min_score = 0.0
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    mix_w = {lg: 1_000_000 // len(langs) for lg in langs}
+
+    shards_dir = tmp_path / "shards"
+    out = run_pipeline(
+        spark, docs, str(tmp_path / "pidx_asm"),
+        classifier=(pos, neg, min_score),
+        mix=(mix_w, 10_000),
+        shards_out=str(shards_dir),
+        shard_docs=16,
+        num_shards=2, num_buckets=4,
+    )
+    c = out["counts"]
+    # classifier keep set == standalone operator on the same input
+    w = CL.nb_logodds_weights(pos, neg)
+    expect_clf = (
+        CL.classifier_score(docs.select("doc_id", "text"), w)
+        .where(F.col("clf_score") >= min_score)
+        .count()
+    )
+    assert c["after_classifier"] == expect_clf
+    seq = [c["input"], c["after_classifier"], c["after_exact_dedup"],
+           c["after_sampling"], c["after_mix"]]
+    assert seq == sorted(seq, reverse=True)
+    assert 0 < c["after_mix"] < c["input"]  # the budget really cuts
+    assert c["emitted_docs"] == c["after_mix"]
+    assert out["index"]["n_docs"] == c["after_mix"]
+
+    # the emitted shard set IS the final corpus, permutation complete
+    emitted = spark.read.parquet(str(shards_dir))
+    rows = emitted.select("doc_id", "shard", "shuffle_rank").collect()
+    assert len(rows) == c["after_mix"]
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(c["after_mix"]))
+    for r in rows:
+        assert r["shard"] == r["shuffle_rank"] // 16
