@@ -30,7 +30,10 @@ Coverage map (SURVEY.md §2 + training-data ops):
   synthesis), line_dedup_doc (FineWeb intra-doc repetition cleanup),
   domain_mix (The Pile/DoReMi mixture-weights sampling to a token
   budget), shuffle_rank (deterministic global training shuffle +
-  shards), length_quantiles (exact inverse-CDF length profile)
+  shards), length_quantiles (exact inverse-CDF length profile),
+  bpe_tokens (corpus-fitted BPE subword tokenizer — rows-only by
+  documented exemption, the one non-SQL-expressible entry),
+  chunk_passages (sliding-window retrieval passage prep)
 * similarity: cosine_topk (brute force), lsh_buckets (integer-exact
   plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
 * hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →
@@ -372,6 +375,18 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WN.host_stats(pages)
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fitted BPE (operators/bpe.py): 200 merges trained on the
+    sf corpus's word histogram, then real subword token counts per
+    doc.  Deterministic end to end (histogram order + lexicographic
+    tie-breaks), so repeated driver runs hash-stably even though no
+    SQL oracle exists (rows-only row by design)."""
+    from lean_explore_spark.operators import bpe as BP
+
+    d = _docs(spark, sf_dir)
+    return BP.bpe_token_counts(d, BP.bpe_train(d, n_merges=200))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a deterministic PII-bearing fixture.
 
@@ -662,6 +677,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # EXACT corpus token-length quantiles via the length-histogram
         # cumsum (inverse empirical CDF, integer math; r7)
         "length_quantiles": lambda s, d: T.length_quantiles(_docs(s, d)),
+        # corpus-fitted BPE subword tokenizer: one-pass word histogram
+        # → driver merge loop → broadcast Arrow encode (r7).  ROWS-ONLY
+        # contract entry: iterated data-dependent merges are not
+        # expressible in one SQL query (documented exemption in
+        # tests/test_driver_contract.py); correctness is pinned by the
+        # naive-trainer differential + hand cases in tests/test_bpe.py.
+        "bpe_tokens": q_bpe_tokens,
+        # sliding-window passage chunking (DPR/ColBERT retrieval prep;
+        # r7) — in-row start sequence + slice/array_join, one explicit
+        # repartition, no other shuffle
+        "chunk_passages": lambda s, d: T.chunk_passages(_docs(s, d)),
         # benchmark decontamination (8-gram overlap vs a probe set —
         # the deterministic 2% hash sample stands in for an eval
         # suite; r7)
@@ -1552,6 +1578,30 @@ SELECT CAST(p_permille AS BIGINT) AS p_permille,
 FROM cum CROSS JOIN p
 WHERE cum >= (p_permille * total + 999) // 1000
 GROUP BY p_permille
+"""
+
+# Sliding-window passage chunking (r7): starts at multiples of the
+# stride while < n_tokens; passage = tokens[start : start+size]
+# rejoined; zero-token docs emit nothing.  Defaults size=64 stride=32.
+_CHUNK_PASSAGES_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '\w+') AS t,
+         CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n
+  FROM documents
+),
+st AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, n - 1, 32)) AS start_tok
+  FROM tok WHERE n > 0
+)
+SELECT doc_id,
+  CAST(start_tok // 32 AS BIGINT) AS passage_no,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(least(64, n - start_tok) AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(t, start_tok + 1, start_tok + 64), ' ')
+    AS passage
+FROM st
 """
 
 # Benchmark decontamination (r7): probe set = the md5-fold hash sample
@@ -2551,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": _DOMAIN_MIX_SQL,
         "shuffle_rank": _SHUFFLE_RANK_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "chunk_passages": _CHUNK_PASSAGES_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,

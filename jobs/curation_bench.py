@@ -248,6 +248,31 @@ def main() -> None:
         },
     )
 
+    def _bpe():
+        # train (one histogram pass + driver merge loop) and encode
+        # (broadcast ranks, narrow Arrow pass) timed separately
+        from lean_explore_spark.operators import bpe as BP
+
+        t0 = time.time()
+        merges = BP.bpe_train(docs, n_merges=1000)
+        train_wall = time.time() - t0
+        row = (
+            BP.bpe_token_counts(docs, merges)
+            .agg(
+                F.sum("n_words").alias("w"),
+                F.sum("n_bpe_tokens").alias("t"),
+            )
+            .collect()[0]
+        )
+        return {
+            "train_sec": round(train_wall, 1),
+            "n_merges": len(merges),
+            "words": int(row["w"]),
+            "bpe_tokens": int(row["t"]),
+        }
+
+    stage("bpe", _bpe)
+
     def _host_stats():
         from lean_explore_spark.operators import webnorm as WN
 

@@ -1,0 +1,204 @@
+"""Byte-pair-encoding subword tokenizer — train on the corpus, encode
+the corpus (Sennrich et al. 2016; the GPT-2/HuggingFace word-level
+variant).  The tokenizer-fitting step of a pretraining pipeline:
+`token_counts`' BPE-ish regex estimates token counts, this module
+computes REAL subword tokenizations with a corpus-fitted vocabulary.
+
+Two halves with very different scale shapes, split accordingly:
+
+* ``bpe_train``: the corpus collapses to a WORD HISTOGRAM first — one
+  partial-aggregated ``groupBy(word)`` (identical shape to ``term_df``,
+  the proven one-shuffle aggregation) capped at the ``max_words`` most
+  frequent words (HF/SentencePiece trainers do the same; the dropped
+  tail is low-mass by construction and the cap is logged).  The merge
+  loop then runs DRIVER-SIDE on the histogram — vocab_size iterations
+  over an indexed pair→words map, never the corpus.  This is the
+  correct distribution of labor: the corpus pass is embarrassingly
+  parallel, the merge loop is inherently sequential (merge i+1 depends
+  on i) and operates on ≤max_words rows.
+* ``bpe_encode``: merges broadcast as a rank dict; one narrow Arrow
+  ``mapInPandas`` pass applying the classic greedy lowest-rank-merge
+  encode per word with a per-batch word memo (Zipf makes the memo hit
+  rate ≈ 1 − distinct/total, typically >90%) — zero shuffle, rows
+  stream through.
+
+No SQL oracle exists for the full encode (iterated data-dependent
+merges are not expressible in one DuckDB query); correctness is pinned
+by a seeded differential against an independent naive reference and
+hand-computed merge sequences in tests/test_bpe.py, and the contract
+row is documented rows-only.  Determinism: ties in pair counts break
+lexicographically, so the merge list is a pure function of the
+histogram (itself a pure function of the corpus) — identical across
+partitionings, runs, and machines.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from lean_explore_spark.operators.textstats import SQL_TOKENS
+
+Merge = Tuple[str, str]
+
+# end-of-word sentinel (GPT-2 uses a leading space variant; the
+# </w>-suffix form keeps every symbol printable for tests/debugging)
+EOW = "</w>"
+
+
+def word_histogram(
+    docs: DataFrame, max_words: int = 1_000_000
+) -> List[Tuple[str, int]]:
+    """(word, count) for the ``max_words`` most frequent corpus words.
+
+    One shuffle (partial-agg groupBy) + a bounded top-k collect — the
+    ONLY corpus-touching step of training.  Deterministic order:
+    (count desc, word asc).
+    """
+    rows = (
+        docs.select(F.explode(F.expr(SQL_TOKENS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(max_words))
+        .collect()
+    )
+    return [(r["w"], r["c"]) for r in rows]
+
+
+def train_merges(
+    histogram: List[Tuple[str, int]], n_merges: int
+) -> List[Merge]:
+    """Classic BPE training over a word histogram, driver-side.
+
+    Indexed implementation: a pair→count map plus a pair→{word ids}
+    inverted index; each merge touches only the words that contain the
+    merged pair, so the loop is O(n_merges × words-per-pair), not
+    O(n_merges × |histogram|).  Ties break on the lexicographically
+    smallest pair — fully deterministic.
+    """
+    words: List[List[str]] = [
+        list(w) + [EOW] for w, _ in histogram
+    ]
+    counts = [c for _, c in histogram]
+
+    pair_counts: Dict[Merge, int] = {}
+    pair_words: Dict[Merge, set] = {}
+    for i, syms in enumerate(words):
+        c = counts[i]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+            pair_words.setdefault((a, b), set()).add(i)
+
+    merges: List[Merge] = []
+    for _ in range(n_merges):
+        best = None
+        best_c = 0
+        for p, c in pair_counts.items():
+            if c > best_c or (c == best_c and best is not None and p < best):
+                best, best_c = p, c
+        if best is None or best_c <= 0:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        affected = list(pair_words.get(best, ()))
+        for i in affected:
+            syms = words[i]
+            c = counts[i]
+            # remove this word's contribution to all its pairs
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        pair_words.pop(p, None)
+            # apply the merge left-to-right
+            out: List[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            # re-add contributions
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(i)
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 1000, max_words: int = 1_000_000
+) -> List[Merge]:
+    """One corpus pass + driver merge loop; see module docstring."""
+    return train_merges(word_histogram(docs, max_words), n_merges)
+
+
+def encode_word(word: str, ranks: Dict[Merge, int]) -> List[str]:
+    """Greedy lowest-rank-first BPE encode of one word (HF semantics:
+    repeatedly merge the present pair with the smallest merge rank)."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_j = -1
+        for j in range(len(syms) - 1):
+            r = ranks.get((syms[j], syms[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_rank is None:
+            break
+        syms[best_j : best_j + 2] = [syms[best_j] + syms[best_j + 1]]
+    return syms
+
+
+def bpe_token_counts(docs: DataFrame, merges: List[Merge]) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): real subword token counts.
+
+    Broadcast the merge ranks, one narrow Arrow pass, per-batch word
+    memo.  Zero shuffle; at 100 TB this is scan-bound like pii_scrub.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    ranks = {p: i for i, p in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+    tok = docs.select(
+        "doc_id", F.expr(SQL_TOKENS).alias("_words")
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = bc.value
+        memo: Dict[str, int] = {}
+        for pdf in batches:
+            n_words = []
+            n_bpe = []
+            for words in pdf["_words"]:
+                total = 0
+                for w in words:
+                    n = memo.get(w)
+                    if n is None:
+                        n = len(encode_word(w, r))
+                        memo[w] = n
+                    total += n
+                n_words.append(len(words))
+                n_bpe.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_bpe, dtype="int64"),
+                }
+            )
+
+    return tok.mapInPandas(
+        enc, schema="doc_id long, n_words long, n_bpe_tokens long"
+    )

@@ -782,3 +782,55 @@ def length_quantiles(
         .agg(F.min("n").cast("long").alias("q_tokens"))
         .select(F.col("p_permille").cast("long"), "q_tokens")
     )
+
+
+def chunk_passages(
+    docs: DataFrame, size: int = 64, stride: int = 32
+) -> DataFrame:
+    """(doc_id, passage_no, start_tok, n_tokens, passage): sliding
+    token windows — the retrieval-training prep step (DPR/ColBERT-style
+    passage corpora; FineWeb-Edu chunk scoring) that turns documents
+    into fixed-ish passages with ``size - stride`` tokens of overlap.
+
+    Window rule (deliberately simple so the oracle is exact): starts at
+    0, stride, 2·stride, … while start < n_tokens; each passage is
+    ``tokens[start : start+size]`` space-rejoined, so tail passages may
+    be shorter than ``size`` (and, when ``n - start < size``, suffixes
+    of the previous window — kept, not special-cased).  Zero-token docs
+    emit NO passages.
+
+    Scale shape: one EXPLICIT-count repartition up front (the gopher
+    lesson — this stage multiplies rows ~n/stride× and is CPU-bound,
+    so AQE's byte-size coalesce must not serialize it), then everything
+    is per-row: the start list assembles in-row (``sequence`` consumed
+    once by the explode) and the passage text is ``array_join(slice(…))``
+    — the 2-node HOF form CLAUDE.md measured ~4× cheaper per gram than
+    element_at chains.  No shuffle after the repartition; output volume
+    ≈ (size/stride)× corpus text, which is the sink's own cost.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    toks = docs.select(
+        "doc_id", F.expr(SQL_TOKENS).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    starts = toks.where(F.col("_n") > 0).select(
+        "doc_id",
+        "_t",
+        "_n",
+        F.posexplode(
+            F.expr(f"sequence(0, _n - 1, {int(stride)})")
+        ).alias("passage_no", "start_tok"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("passage_no").cast("long"),
+        F.col("start_tok").cast("long"),
+        F.least(F.lit(int(size)), F.col("_n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.expr(f"slice(_t, start_tok + 1, {int(size)})"), " "
+        ).alias("passage"),
+    )

@@ -80,7 +80,15 @@ NEW_SINCE_LAST_ROUND: set[str] = {
     "domain_mix",
     "shuffle_rank",
     "length_quantiles",
+    "bpe_tokens",
+    "chunk_passages",
 }
+
+# Documented rows-only contract entries: genuinely non-SQL-expressible
+# ops (the brief's exemption).  bpe_tokens: BPE's iterated
+# data-dependent merges cannot run in one DuckDB query; correctness is
+# pinned by the naive-trainer differential in tests/test_bpe.py.
+ROWS_ONLY: set[str] = {"bpe_tokens"}
 
 # The r6 driver omission of record (VERDICT r6 #1): both r5-green,
 # code untouched since, both exercised by the parametrized gate above.
@@ -89,10 +97,11 @@ DRIVER_OMITTED_LAST_ROUND: set[str] = {"ivf_topk", "embed_texts"}
 
 
 def test_every_query_has_oracle():
-    missing = set(E.queries()) - set(E.oracle_sql())
+    missing = set(E.queries()) - set(E.oracle_sql()) - ROWS_ONLY
     assert not missing, (
         f"queries() entries without an oracle_sql() twin: {sorted(missing)} "
-        "(add the oracle, or document the rows-only exemption here)"
+        "(add the oracle, or document the rows-only exemption in "
+        "ROWS_ONLY above)"
     )
 
 
@@ -137,3 +146,15 @@ def test_entry_smoke(spark):
     assert df.columns == ["doc_id", "score"]
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rows_only_queries_are_deterministic(spark):
+    """Rows-only entries have no oracle, so pin the next-best thing:
+    two independent runs produce identical values (the driver's
+    weaker check then at least hashes stably across rounds)."""
+    for name in sorted(ROWS_ONLY):
+        fn = E.queries()[name]
+        a = _normalize(fn(spark, SF_ORACLE).toPandas())
+        b = _normalize(fn(spark, SF_ORACLE).toPandas())
+        assert a.equals(b), name
+        assert len(a) > 0, name

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+import re
 
 import pyspark.sql.functions as F
 import pytest
@@ -18,6 +19,7 @@ from lean_explore_spark.operators import mixing as M
 from lean_explore_spark.operators import textstats as T
 
 PPM = 1_000_000
+TOKRE = re.compile(r"\w+")
 
 
 def fold15(salt: str, key) -> int:
@@ -234,3 +236,55 @@ def test_shuffle_rank_keep_cols(spark):
 
     with pytest.raises(ValueError, match="reserved"):
         M.shuffle_rank(df.withColumn("_pid", F.lit(1)), keep_cols=True)
+
+
+# --- chunk_passages (retrieval passage prep) ---
+
+def py_chunks(text, size, stride):
+    toks = TOKRE.findall(text.lower())
+    out = []
+    for no, s in enumerate(range(0, len(toks), stride)):
+        out.append((no, s, min(size, len(toks) - s),
+                    " ".join(toks[s:s + size])))
+    return out
+
+
+def test_chunk_passages_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in T.chunk_passages(df, size=3, stride=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["passage_no"], r["start_tok"], r["n_tokens"], r["passage"])
+        )
+    assert sorted(got[1]) == [(0, 0, 3, "a b c"), (1, 2, 3, "c d e"),
+                              (2, 4, 1, "e")]
+    assert 2 not in got          # zero-token docs emit nothing
+    assert sorted(got[3]) == [(0, 0, 1, "x")]
+
+
+def test_chunk_passages_random_differential(spark):
+    rng = random.Random(21)
+    texts = [
+        " ".join(f"w{rng.randint(0, 30)}" for _ in range(rng.randint(0, 90)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {}
+    for r in T.chunk_passages(df, size=16, stride=7).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["passage_no"], r["start_tok"], r["n_tokens"], r["passage"])
+        )
+    for i, t in enumerate(texts):
+        assert sorted(got.get(i, [])) == py_chunks(t, 16, 7), i
+
+
+def test_chunk_passages_validates(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.chunk_passages(df, size=0)
+    with pytest.raises(ValueError):
+        T.chunk_passages(df, stride=0)
