@@ -142,6 +142,48 @@ def verify_segments(spark, index_root: str) -> dict:
     }
 
 
+def verify_shards(spark, shards_dir: str) -> dict:
+    """fsck for an emitted training-shard set (pipeline_demo
+    --emit-shards / mixing.shuffle_rank): the global rank column must
+    be a COMPLETE permutation 0..n-1 with unique doc_ids, and every
+    row's shard directory must equal ``rank div shard_docs`` (inferred
+    from shard 0's row count — shards are fixed-size by construction
+    except the last).  One aggregation pass, no collect of the data.
+    """
+    df = spark.read.parquet(shards_dir)
+    shard_docs = df.where(F.col("shard") == 0).count()
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("shuffle_rank").alias("n_ranks"),
+        F.min("shuffle_rank").alias("rmin"),
+        F.max("shuffle_rank").alias("rmax"),
+        F.sum(
+            (
+                F.col("shard")
+                != F.expr(f"shuffle_rank div {max(shard_docs, 1)}")
+            ).cast("long")
+        ).alias("misplaced"),
+    ).collect()[0]
+    mismatches = []
+    n = agg["n"]
+    if agg["n_docs"] != n:
+        mismatches.append(f"duplicate doc_ids: {n - agg['n_docs']}")
+    if not (agg["n_ranks"] == n and agg["rmin"] == 0 and agg["rmax"] == n - 1):
+        mismatches.append(
+            f"rank set is not 0..{n - 1}: distinct={agg['n_ranks']} "
+            f"min={agg['rmin']} max={agg['rmax']}"
+        )
+    if agg["misplaced"]:
+        mismatches.append(f"rows in the wrong shard dir: {agg['misplaced']}")
+    return {
+        "ok": not mismatches,
+        "rows": n,
+        "shard_docs": shard_docs,
+        "mismatches": mismatches,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
@@ -153,17 +195,25 @@ def main() -> None:
         "manifest-live segment (and base) instead of one monolithic "
         "index",
     )
+    ap.add_argument(
+        "--shards",
+        action="store_true",
+        help="treat --index as an emitted training-shard directory "
+        "(pipeline_demo --emit-shards): verify the global shuffle "
+        "permutation and shard placement",
+    )
     args = ap.parse_args()
     spark = get_spark(
         app_name="verify_index",
         master=f"local[{args.cpus}]" if args.cpus else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out = (
-        verify_segments(spark, args.index)
-        if args.segments
-        else verify(spark, args.index)
-    )
+    if args.shards:
+        out = verify_shards(spark, args.index)
+    elif args.segments:
+        out = verify_segments(spark, args.index)
+    else:
+        out = verify(spark, args.index)
     print(json.dumps(out))
     if not out["ok"]:
         sys.exit(1)

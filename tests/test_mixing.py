@@ -288,3 +288,15 @@ def test_chunk_passages_validates(spark):
         T.chunk_passages(df, size=0)
     with pytest.raises(ValueError):
         T.chunk_passages(df, stride=0)
+
+
+def test_chunk_passages_plan_single_exchange(spark):
+    """COVERAGE claim: one explicit-count repartition, then per-row."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    plan = (
+        T.chunk_passages(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan

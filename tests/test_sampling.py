@@ -466,3 +466,17 @@ def test_pipeline_demo_assembly_stages(spark, tmp_path):
     assert ranks == list(range(c["after_mix"]))
     for r in rows:
         assert r["shard"] == r["shuffle_rank"] // 16
+
+    # the shard fsck agrees — and catches a ripped-out shard dir
+    import shutil
+
+    from verify_index import verify_shards
+
+    ok = verify_shards(spark, str(shards_dir))
+    assert ok["ok"] and ok["rows"] == c["after_mix"]
+    broken = tmp_path / "shards_broken"
+    shutil.copytree(shards_dir, broken)
+    victims = sorted(p for p in broken.glob("shard=*") if p.name != "shard=0")
+    shutil.rmtree(victims[0])
+    bad = verify_shards(spark, str(broken))
+    assert not bad["ok"] and bad["mismatches"]
