@@ -33,7 +33,8 @@ Coverage map (SURVEY.md §2 + training-data ops):
   shards), length_quantiles (exact inverse-CDF length profile),
   bpe_tokens (corpus-fitted BPE subword tokenizer — rows-only by
   documented exemption, the one non-SQL-expressible entry),
-  chunk_passages (sliding-window retrieval passage prep)
+  chunk_passages (sliding-window retrieval passage prep), novel_docs
+  (incremental-crawl near-dup gate vs the existing corpus)
 * similarity: cosine_topk (brute force), lsh_buckets (integer-exact
   plane signs), ann_lsh_topk, embedding_near_dup (EXACT blocked GEMM)
 * hybrid pipeline end-to-end: hybrid_topk (candidates → threshold →
@@ -375,6 +376,44 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WN.host_stats(pages)
 
 
+def q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl near-dup gate (dedup.novel_docs): old corpus
+    = documents; new batch synthesized deterministically from it —
+    exact copies (doc_id%5==0, +1e9), 3-token-appended near-dups
+    (%5==1, +2e9), and token-REVERSED texts (%5==2, +3e9; trigram
+    shingles differ ⇒ novel).  Copies/near-dups must drop, reversed
+    must survive; the oracle mirrors the FULL LSH+refine computation
+    so whatever the bands catch, both engines agree exactly."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import dedup as DD
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.expr(DD.SQL_TOKENS)
+    new = (
+        old.where(F.expr("doc_id % 5 = 0")).select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
+        )
+        .unionAll(
+            old.where(F.expr("doc_id % 5 = 1")).select(
+                (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzqa zzqb zzqc")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionAll(
+            old.where(F.expr("doc_id % 5 = 2")).select(
+                (F.col("doc_id") + F.lit(3_000_000_000)).alias("doc_id"),
+                F.array_join(F.reverse(toks), " ").alias("text"),
+            )
+        )
+    )
+    return DD.novel_docs(new, old).select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fitted BPE (operators/bpe.py): 200 merges trained on the
     sf corpus's word histogram, then real subword token counts per
@@ -688,6 +727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7) — in-row start sequence + slice/array_join, one explicit
         # repartition, no other shuffle
         "chunk_passages": lambda s, d: T.chunk_passages(_docs(s, d)),
+        # incremental-crawl near-dup gate: new batch vs the EXISTING
+        # corpus via stored band keys + candidate-only jaccard refine
+        # (r7) — never all-pairs, old corpus moves only as band keys
+        "novel_docs": q_novel_docs,
         # benchmark decontamination (8-gram overlap vs a probe set —
         # the deterministic 2% hash sample stands in for an eval
         # suite; r7)
@@ -1578,6 +1621,103 @@ SELECT CAST(p_permille AS BIGINT) AS p_permille,
 FROM cum CROSS JOIN p
 WHERE cum >= (p_permille * total + 999) // 1000
 GROUP BY p_permille
+"""
+
+def _lsh_stack(p: str, src: str) -> str:
+    """Prefixed shingle→minhash→band CTE stack over an arbitrary
+    source CTE/table — the two-corpus (novel_docs) oracle needs the
+    stack twice.  Same math as _SHINGLES/_SHINGLE_X/_BANDS."""
+    return f"""
+{p}tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks
+  FROM {src}
+),
+{p}ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM {p}tl
+),
+{p}sh0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS shingle,
+         lead(term, 2) OVER w AS _l2
+  FROM {p}ptok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+{p}sh AS (SELECT DISTINCT doc_id, shingle FROM {p}sh0 WHERE _l2 IS NOT NULL),
+{p}xs AS (
+  SELECT doc_id, shingle,
+         CAST(sum((strpos('0123456789abcdef', substr(md5(shingle), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) % {_P} AS x
+  FROM {p}sh CROSS JOIN digits
+  GROUP BY doc_id, shingle
+),
+{p}sig AS (
+  SELECT doc_id, params.i AS i,
+         min((params.a * {p}xs.x + params.b) % {_P}) AS minhash
+  FROM {p}xs CROSS JOIN params
+  GROUP BY doc_id, params.i
+),
+{p}bands AS (
+  SELECT doc_id, i // {D.BAND_ROWS} AS band,
+         concat_ws(',',
+           max(CASE WHEN i % {D.BAND_ROWS} = 0 THEN minhash END),
+           max(CASE WHEN i % {D.BAND_ROWS} = 1 THEN minhash END),
+           max(CASE WHEN i % {D.BAND_ROWS} = 2 THEN minhash END),
+           max(CASE WHEN i % {D.BAND_ROWS} = 3 THEN minhash END)) AS band_key
+  FROM {p}sig GROUP BY doc_id, i // {D.BAND_ROWS}
+)"""
+
+
+# Incremental-crawl near-dup gate (r7): new batch synthesized from
+# documents (copies / +3-token near-dups / token-reversed), both
+# corpora run the identical shingle→minhash→band stack, candidates =
+# cross band-equality, refine = exact shingle-jaccard >= 0.5,
+# survivors = new LEFT ANTI matched.
+_NOVEL_DOCS_SQL = f"""
+WITH digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+newdocs AS (
+  SELECT doc_id + 1000000000 AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000, text || ' zzqa zzqb zzqc'
+  FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 3000000000,
+         array_to_string(
+           list_reverse(regexp_extract_all(lower(text), '\\w+')), ' ')
+  FROM documents WHERE doc_id % 5 = 2
+),
+{_lsh_stack("n", "newdocs")},
+{_lsh_stack("o", "documents")},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM nbands n JOIN obands o
+    ON n.band = o.band AND n.band_key = o.band_key
+),
+nsizes AS (SELECT doc_id, count(*) AS na FROM nsh GROUP BY doc_id),
+osizes AS (SELECT doc_id, count(*) AS nb FROM osh GROUP BY doc_id),
+common AS (
+  SELECT c.new_id, c.old_id, count(*) AS common
+  FROM cand c
+  JOIN nsh a ON a.doc_id = c.new_id
+  JOIN osh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+  GROUP BY c.new_id, c.old_id
+),
+matched AS (
+  SELECT DISTINCT cm.new_id
+  FROM common cm
+  JOIN nsizes sa ON sa.doc_id = cm.new_id
+  JOIN osizes sb ON sb.doc_id = cm.old_id
+  WHERE cm.common / (sa.na + sb.nb - cm.common) >= 0.5
+)
+SELECT nd.doc_id,
+  CAST(len(regexp_extract_all(lower(nd.text), '\\w+')) AS BIGINT)
+    AS n_tokens
+FROM newdocs nd LEFT JOIN matched m ON nd.doc_id = m.new_id
+WHERE m.new_id IS NULL
 """
 
 # Sliding-window passage chunking (r7): starts at multiples of the
@@ -2602,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_rank": _SHUFFLE_RANK_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "chunk_passages": _CHUNK_PASSAGES_SQL,
+        "novel_docs": _NOVEL_DOCS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,

@@ -168,6 +168,32 @@ def minhash_signatures(
     )
 
 
+def _band_keys(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band, band_key): LSH band keys of the MinHash
+    signature — conditional-aggregated per (doc, band), no
+    order-sensitive collect_list.  Shared by within-corpus pair
+    generation and the cross-corpus ``novel_docs`` path; at scale the
+    existing corpus's output of this function IS the stored artifact
+    an incremental pipeline band-joins against."""
+    sig = minhash_signatures(docs, n, num_hashes, shingles_df=shingles_df)
+    band = sig.withColumn("band", (F.col("i") / F.lit(band_rows)).cast("int"))
+    slot_cols = [
+        F.max(
+            F.when(F.col("i") % band_rows == r, F.col("minhash"))
+        ).alias(f"s{r}")
+        for r in range(band_rows)
+    ]
+    keys = band.groupBy("doc_id", "band").agg(*slot_cols)
+    key = F.concat_ws(",", *[F.col(f"s{r}") for r in range(band_rows)])
+    return keys.select("doc_id", "band", key.alias("band_key"))
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -181,17 +207,7 @@ def minhash_candidate_pairs(
     conditional-aggregated per (doc, band) so no order-sensitive
     collect_list is needed.
     """
-    sig = minhash_signatures(docs, n, num_hashes, shingles_df=shingles_df)
-    band = sig.withColumn("band", (F.col("i") / F.lit(band_rows)).cast("int"))
-    slot_cols = [
-        F.max(
-            F.when(F.col("i") % band_rows == r, F.col("minhash"))
-        ).alias(f"s{r}")
-        for r in range(band_rows)
-    ]
-    keys = band.groupBy("doc_id", "band").agg(*slot_cols)
-    key = F.concat_ws(",", *[F.col(f"s{r}") for r in range(band_rows)])
-    keyed = keys.select("doc_id", "band", key.alias("band_key"))
+    keyed = _band_keys(docs, n, num_hashes, band_rows, shingles_df)
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -974,4 +990,97 @@ def decontaminate(
             .cast("long")
             .alias("contaminated"),
         )
+    )
+
+
+def novel_docs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    refine: bool = True,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Incremental-crawl near-dup gate: the NEW docs that have no
+    near-duplicate (exact n-gram Jaccard ≥ ``threshold``) in the
+    EXISTING corpus.  The workflow every periodically-refreshed corpus
+    needs — each crawl snapshot dedups against the live corpus without
+    reprocessing it (CCNet/RefinedWeb run per-snapshot; cross-snapshot
+    URL dedup is webnorm.latest_page_per_url, this is the CONTENT-level
+    twin).
+
+    Only (new, old) CROSS pairs are considered; duplicates WITHIN the
+    new batch are a separate pass (dedup_canonical).  Docs too short to
+    produce an n-shingle never band-match and pass through — pair with
+    ``dedup_exact`` over the union for tiny/exact copies, as the
+    within-corpus pipeline does.
+
+    Scale shape: the existing corpus appears ONLY through its band-key
+    table (``_band_keys`` output — precompute it once, store it, and
+    at refresh time band-join the new batch against the STORED table;
+    this function recomputes it from ``old_docs`` for self-containment)
+    and, when ``refine=True``, through the shingles of candidate-
+    matched old docs (a semi-joined subset, never the whole old
+    corpus).  Candidates come from band equi-joins — never all-pairs —
+    and the Jaccard refine touches candidate pairs only, exactly the
+    jaccard_refined_pairs economics.  ``refine=False`` drops any
+    band-collision candidate unrefined: cheaper (old shingles never
+    read), strictly more conservative (LSH false positives discard
+    borderline-novel docs).
+    """
+    new_sh = shingles(new_docs, n)
+    old_sh = shingles(old_docs, n)
+    kn = _band_keys(
+        new_docs, n, num_hashes, band_rows, shingles_df=new_sh
+    ).alias("kn")
+    ko = _band_keys(
+        old_docs, n, num_hashes, band_rows, shingles_df=old_sh
+    ).alias("ko")
+    cand = (
+        kn.join(
+            ko,
+            (F.col("kn.band") == F.col("ko.band"))
+            & (F.col("kn.band_key") == F.col("ko.band_key")),
+        )
+        .select(
+            F.col("kn.doc_id").alias("new_id"),
+            F.col("ko.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    if refine:
+        new_sizes = new_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
+        old_sizes = old_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+        a = new_sh.alias("a")
+        b = old_sh.alias("b")
+        common = (
+            cand.join(a, F.col("a.doc_id") == F.col("new_id"))
+            .join(
+                b,
+                (F.col("b.doc_id") == F.col("old_id"))
+                & (F.col("b.shingle") == F.col("a.shingle")),
+            )
+            .groupBy("new_id", "old_id")
+            .agg(F.count("*").alias("common"))
+        )
+        matched = (
+            common.join(
+                new_sizes, F.col("doc_id") == F.col("new_id")
+            )
+            .drop("doc_id")
+            .join(old_sizes, F.col("doc_id") == F.col("old_id"))
+            .where(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+                >= F.lit(float(threshold))
+            )
+            .select("new_id")
+        )
+    else:
+        matched = cand.select("new_id")
+    return new_docs.join(
+        matched.distinct().withColumnRenamed("new_id", "doc_id"),
+        "doc_id",
+        "left_anti",
     )

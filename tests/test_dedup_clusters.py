@@ -170,3 +170,113 @@ def test_distributed_regime_keeps_edges_cached(spark, monkeypatch):
         assert edges_ids <= s  # cached through every round
     for d in dropped:
         assert not (edges_ids & d)  # hygiene never drops the edges cache
+
+
+# --- novel_docs: incremental dedup against an existing corpus (r7) ---
+
+BASE_A = ("the quick brown fox jumps over the lazy dog while rain "
+          "falls softly on the quiet village roofs tonight")
+BASE_B = ("completely different content about database engines and "
+          "vectorized execution plans with columnar storage formats")
+
+
+def test_novel_docs_crafted(spark):
+    from lean_explore_spark.operators.dedup import novel_docs
+
+    old = spark.createDataFrame(
+        [(1, BASE_A), (2, BASE_B)], "doc_id long, text string"
+    )
+    rev_a = " ".join(reversed(BASE_A.lower().split()))
+    new = spark.createDataFrame(
+        [
+            (100, BASE_A),                    # exact copy -> dropped
+            (101, BASE_A + " zz qq ww"),      # near-dup -> dropped
+            (102, rev_a),                     # reversed: shingles differ
+            (103, "entirely fresh text about gardening tips and soil"),
+            (104, "hi"),                      # too short for a shingle
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in novel_docs(new, old).select("doc_id").collect()
+    )
+    assert kept == [102, 103, 104]
+    # original columns ride through the anti-join
+    assert novel_docs(new, old).columns == ["doc_id", "text"]
+
+
+def test_novel_docs_refine_off_is_conservative(spark):
+    from lean_explore_spark.operators.dedup import novel_docs
+
+    old = spark.createDataFrame([(1, BASE_A)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, BASE_A), (103, "entirely fresh text about gardening")],
+        "doc_id long, text string",
+    )
+    with_refine = {
+        r["doc_id"] for r in novel_docs(new, old).collect()
+    }
+    without = {
+        r["doc_id"] for r in novel_docs(new, old, refine=False).collect()
+    }
+    assert without <= with_refine  # LSH-only can only drop MORE
+    assert 103 in without and 100 not in with_refine
+
+
+def test_novel_docs_matches_python_jaccard(spark):
+    """Refined decision == pure-Python: drop iff some old doc shares
+    an LSH band AND exact shingle-jaccard >= 0.5."""
+    import hashlib
+    import random
+    import re
+
+    from lean_explore_spark.operators import dedup as D
+    from lean_explore_spark.operators.dedup import novel_docs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+    old_rows = [(i, mk()) for i in range(20)]
+    new_rows = [(100 + i, mk()) for i in range(20)] + [
+        (200 + i, t) for i, (_, t) in enumerate(old_rows[:5])  # copies
+    ]
+
+    def sh3(text):
+        toks = re.findall(r"\w+", text.lower())
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def x60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % D.MERSENNE31
+
+    def bands(text):
+        shs = sh3(text)
+        if not shs:
+            return set()
+        xs = [x60(s) for s in shs]
+        sig = [
+            min((a * x + b) % D.MERSENNE31 for x in xs)
+            for _, a, b in D.HASH_PARAMS
+        ]
+        return {
+            (bi, tuple(sig[bi * D.BAND_ROWS:(bi + 1) * D.BAND_ROWS]))
+            for bi in range(len(sig) // D.BAND_ROWS)
+        }
+
+    expected_novel = []
+    for nid, nt in new_rows:
+        dropped = False
+        for _, ot in old_rows:
+            if bands(nt) & bands(ot):
+                a, b = sh3(nt), sh3(ot)
+                if a and b and len(a & b) / len(a | b) >= 0.5:
+                    dropped = True
+                    break
+        if not dropped:
+            expected_novel.append(nid)
+
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in novel_docs(new, old).collect())
+    assert got == sorted(expected_novel)

@@ -82,6 +82,7 @@ NEW_SINCE_LAST_ROUND: set[str] = {
     "length_quantiles",
     "bpe_tokens",
     "chunk_passages",
+    "novel_docs",
 }
 
 # Documented rows-only contract entries: genuinely non-SQL-expressible
