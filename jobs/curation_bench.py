@@ -273,6 +273,29 @@ def main() -> None:
 
     stage("bpe", _bpe)
 
+    def _novel():
+        # incremental-crawl gate: a ~62k-doc new batch (copies of
+        # every 101st doc + token-reversed every 103rd) vs the FULL
+        # corpus as the existing side — the per-snapshot refresh shape
+        from lean_explore_spark.operators import dedup as DD
+
+        toks = F.expr(DD.SQL_TOKENS)
+        new = (
+            docs.where(F.expr("doc_id % 101 = 0"))
+            .select((F.col("doc_id") + F.lit(10**10)).alias("doc_id"), "text")
+            .unionAll(
+                docs.where(F.expr("doc_id % 103 = 0")).select(
+                    (F.col("doc_id") + F.lit(2 * 10**10)).alias("doc_id"),
+                    F.array_join(F.reverse(toks), " ").alias("text"),
+                )
+            )
+        )
+        n_new = new.count()
+        novel = DD.novel_docs(new, docs).count()
+        return {"new_batch": int(n_new), "novel": int(novel)}
+
+    stage("novel_docs", _novel)
+
     def _host_stats():
         from lean_explore_spark.operators import webnorm as WN
 

@@ -106,7 +106,8 @@ def run_pipeline(
     per-stage row counts ride the plan as ``df.observe`` counters
     instead of per-stage ``.count()`` actions (each of which re-ran
     the full upstream lineage — ~6 corpus passes at 100 TB).  The
-    pipeline takes exactly TWO deliberate materialization actions,
+    pipeline takes exactly TWO deliberate materialization actions
+    (THREE in assembly configs — see step 7b'),
     each persisting a relation that multiple downstream consumers
     fan out from: (1) scan → lang → quality → exact dedup (read by
     near-dup pair generation, the anti-join, AND the Gopher metric
@@ -330,10 +331,25 @@ def run_pipeline(
         "after_sampling",
     )
 
+    # 7b'. deliberate materialization #3 — assembly configs only.
+    # Two consumers force it: domain_mix's rate aggregate AND its
+    # corpus-side filter both consume this relation (unpersisted, the
+    # whole span-cut lineage evaluates TWICE inside the builder's
+    # first job — at 3.2M docs the doubled simultaneous shuffle
+    # footprint ran the disk out, twice, before this persist existed),
+    # and the shard emit is a second sink that would otherwise re-run
+    # the entire curation lineage after the build.  The count also
+    # pins every upstream observe counter with a single traversal.
+    stage3 = None
+    if mix is not None or shards_out:
+        stage3 = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        stage3.count()  # value == the after_sampling observe counter
+        stage2.unpersist()  # nothing downstream reads it anymore
+        docs = stage3
+
     # 7b. optional domain mixing to a token budget (The Pile/DoReMi
-    # mixture-weights stage) — the tiny per-domain rate aggregate reads
-    # the persisted stage2 upstream, the corpus side is a narrow
-    # broadcast-join filter.
+    # mixture-weights stage) — the tiny per-domain rate aggregate and
+    # the corpus-side broadcast-join filter both read the stage3 cache.
     if mix is not None:
         from lean_explore_spark.operators import mixing as MX
 
@@ -403,7 +419,10 @@ def run_pipeline(
     if shards_out:
         counts["emitted_docs"] = int(obs["emitted"].get["n"])
         counts["shards_out"] = shards_out
-    stage2.unpersist()  # = cached when span_cut is off (r5 hygiene)
+    if stage3 is not None:
+        stage3.unpersist()
+    else:
+        stage2.unpersist()  # = cached when span_cut is off (r5 hygiene)
     return {
         "counts": counts,
         "index": {
