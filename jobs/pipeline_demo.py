@@ -340,9 +340,15 @@ def run_pipeline(
     # and the shard emit is a second sink that would otherwise re-run
     # the entire curation lineage after the build.  The count also
     # pins every upstream observe counter with a single traversal.
+    # DISK_ONLY, not MEMORY_AND_DISK: this persist materializes WHILE
+    # stage2's deserialized cache is still live and the span-cut's
+    # windows/collect_list are at peak — a second in-heap corpus copy
+    # OOMed the 24g single-JVM at 3.2M docs.  The relation is read only
+    # 2-3 more times (mix rates, builder staging, shard emit);
+    # serialized disk blocks cost a re-read, never heap.
     stage3 = None
     if mix is not None or shards_out:
-        stage3 = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        stage3 = docs.persist(StorageLevel.DISK_ONLY)
         stage3.count()  # value == the after_sampling observe counter
         stage2.unpersist()  # nothing downstream reads it anymore
         docs = stage3
