@@ -25,15 +25,21 @@ Scale shape
   rates derived in all-integer arithmetic on that tiny relation, then
   a broadcast join + narrow hash-threshold filter.  The corpus is
   never shuffled.
-* ``shuffle_rank``: the pack_sequences two-phase global prefix
-  pattern (textstats.py:648) specialised to ranks —
-  ``repartitionByRange(hash)`` for contiguous hash ranges, a
-  per-partition ``row_number`` window computed IN PARALLEL
-  (partitionBy spark_partition_id — never a bare global orderBy
-  window, which moves the corpus to one partition), per-partition
-  counts broadcast back as offsets.  Result is independent of the
-  range boundaries repartitionByRange samples, so nondeterministic
-  boundary sampling cannot leak into the output.
+* ``shuffle_rank``: a two-phase global prefix rank keyed on VALUE
+  buckets — the top bits of the 60-bit hash — never on physical
+  partition ids.  Buckets are order-preserving (bucket b's hashes all
+  sort before bucket b+1's) and uniform (md5), so a per-bucket
+  ``row_number`` window runs in parallel and a tiny per-bucket count
+  prefix turns local ranks global.  The value key is the load-bearing
+  choice: the first implementation keyed on
+  ``spark_partition_id()`` over a ``repartitionByRange`` exchange,
+  and because the offsets subtree RE-EVALUATES its input, AQE laid
+  the two evaluations out differently inside a larger plan — at 3.2M
+  docs inside the composed pipeline the offsets joined to the wrong
+  partitions (duplicate + missing ranks, caught by the --shards
+  fsck) even though the same code was correct standalone.  A pure
+  row-function key cannot depend on layout, so double evaluation is
+  harmless by construction.
 """
 
 from __future__ import annotations
@@ -170,6 +176,7 @@ def shuffle_rank(
     shard_docs: int = 0,
     id_col: str = "doc_id",
     keep_cols: bool = False,
+    bucket_bits: int = 12,
 ) -> DataFrame:
     """(doc_id, shuffle_rank[, shard]): deterministic global shuffle.
 
@@ -182,9 +189,15 @@ def shuffle_rank(
     trainer's data loader consumes.  Different ``salt`` → independent
     permutation (new data order per training run).
 
-    Scale: two narrow shuffles (repartitionByRange + the tiny offset
-    aggregate) — see module docstring; integer ``div`` for the shard
-    split (ranks reach 10^13).
+    Scale: one hash shuffle (the per-bucket window) + a tiny
+    per-bucket count prefix — see module docstring; integer ``div``
+    for the shard split (ranks reach 10^13).  ``bucket_bits`` sizes
+    the parallelism: 2^bits buckets, uniform by the md5 hash (12 bits
+    = 4096 buckets; raise for >10^10-row corpora so per-bucket windows
+    stay small).  Bucket keys are pure row functions — NEVER physical
+    partition ids — so the plan is correct under any AQE layout and
+    under re-evaluation (module docstring: the 3.2M pipeline
+    regression that forced this design).
 
     ``keep_cols=True`` threads EVERY input column through the rank
     computation and returns them alongside the rank — the emit-sink
@@ -192,32 +205,35 @@ def shuffle_rank(
     upstream lineage a second time (two full pipeline computations at
     corpus scale, and any ``observe`` counter in that lineage would
     double-fire inside the self-joined action), whereas keep_cols is
-    ONE traversal with the payload riding the single range shuffle it
+    ONE traversal with the payload riding the single hash shuffle it
     must make anyway to be written in shuffled order.
     """
     from pyspark.sql import Window
 
     cols = list(docs.columns) if keep_cols else [id_col]
-    for reserved in ("_h", "_pid", "_local_rank"):
+    for reserved in ("_h", "_b", "_local_rank"):
         if reserved in cols:
             raise ValueError(f"input column {reserved!r} is reserved")
-    sc = docs.sparkSession.sparkContext
-    nparts = max(2, sc.defaultParallelism)
+    if not 1 <= int(bucket_bits) <= 40:
+        raise ValueError("bucket_bits out of [1, 40]")
     hashed = docs.select(
         *cols, fold15(F.col(id_col), salt).alias("_h")
-    ).repartitionByRange(nparts, "_h", id_col)
-    hashed = hashed.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy("_h", id_col)
+    ).withColumn(
+        # top bits of the 60-bit hash: order-preserving value bucket
+        "_b",
+        F.shiftright(F.col("_h"), 60 - int(bucket_bits)).cast("long"),
+    )
+    w = Window.partitionBy("_b").orderBy("_h", id_col)
     local = hashed.withColumn("_local_rank", F.row_number().over(w))
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
+    counts = hashed.groupBy("_b").agg(F.count("*").alias("_c"))
     a = counts.alias("a")
     b = counts.alias("b")
     offsets = (
-        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
-        .groupBy(F.col("a._pid").alias("_pid"))
+        a.join(F.broadcast(b), F.col("b._b") < F.col("a._b"), "left")
+        .groupBy(F.col("a._b").alias("_b"))
         .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_offset"))
     )
-    out = local.join(F.broadcast(offsets), "_pid").select(
+    out = local.join(F.broadcast(offsets), "_b").select(
         *cols,
         (F.col("_offset") + F.col("_local_rank") - 1)
         .cast("long")

@@ -679,6 +679,17 @@ def pack_sequences(docs: DataFrame, budget: int = 4096) -> DataFrame:
         .repartitionByRange(nparts, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
     )
+    # PIN the physical layout before anything consumes it twice:
+    # spark_partition_id is a function of the EXECUTED layout, and the
+    # window branch + the totals branch below would otherwise each
+    # re-evaluate the exchange — under AQE inside a larger plan the
+    # two evaluations can coalesce differently, mismatching offsets to
+    # pids (the shuffle_rank 3.2M pipeline regression; shuffle_rank
+    # itself was re-keyed on value buckets, but this op orders by an
+    # arbitrary-distribution doc_id, so the snapshot is the fix).
+    # Narrow relation — two longs + a pid per doc — so the eager
+    # checkpoint is cheap at any corpus size.
+    sized = sized.localCheckpoint(eager=True)
     w = Window.partitionBy("_pid").orderBy("doc_id")
     local = sized.withColumn(
         "_local_end", F.sum("n_tokens").over(w)

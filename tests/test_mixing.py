@@ -235,7 +235,9 @@ def test_shuffle_rank_keep_cols(spark):
         assert (got[i]["text"], got[i]["lang"]) == (t, lg)
 
     with pytest.raises(ValueError, match="reserved"):
-        M.shuffle_rank(df.withColumn("_pid", F.lit(1)), keep_cols=True)
+        M.shuffle_rank(df.withColumn("_b", F.lit(1)), keep_cols=True)
+    with pytest.raises(ValueError, match="bucket_bits"):
+        M.shuffle_rank(df, bucket_bits=0)
 
 
 # --- chunk_passages (retrieval passage prep) ---
