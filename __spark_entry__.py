@@ -426,6 +426,18 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.bpe_token_counts(d, BP.bpe_train(d, n_merges=200))
 
 
+def q_bpe_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's SQL-expressible stage (VERDICT r7 #3): the
+    symbol-pair histogram of the initial character+EOW decomposition,
+    top 50 by (cnt desc, pair asc).  Row 1 is the trainer's first
+    merge under its documented tie-break (pinned vs train_merges in
+    tests/test_bpe.py), so the driver hash-checks the stage that
+    feeds the rows-only iterated-merge loop."""
+    from lean_explore_spark.operators import bpe as BP
+
+    return BP.pair_histogram(_docs(spark, sf_dir), top_k=50)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a deterministic PII-bearing fixture.
 
@@ -611,7 +623,61 @@ def q_embed_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def _row_is_green(v: dict) -> bool:
+    """A driver correctness row counts as green when no comparison
+    failed; ``err == 'no_oracle'`` is the documented rows-only outcome
+    (the best result that entry can ever get), so it does not mark the
+    key stale."""
+    if not isinstance(v, dict):
+        return False
+    if (
+        v.get("rows_match") is False
+        or v.get("schema_match") is False
+        or v.get("hash_match") is False
+    ):
+        return False
+    return v.get("err") in (None, "no_oracle")
+
+
+def _last_green_rounds(round_files) -> dict[str, int]:
+    """key → 1-based index (in the sorted round-file list) of the most
+    recent file containing a green row for that key.  Keys absent from
+    every file map to nothing (treated as round 0 = most stale)."""
+    import json
+
+    last: dict[str, int] = {}
+    for rnd, path in enumerate(sorted(round_files), start=1):
+        try:
+            rows = json.loads(Path(path).read_text())
+        except (OSError, ValueError):
+            continue
+        for k, v in rows.items():
+            if _row_is_green(v):
+                last[k] = rnd
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract registry, rotated least-recently-green first.
+
+    The driver caps each round's CORRECTNESS artifact at ~50 rows taken
+    in insertion order (observed r5: 48, r6: 50/52, r7: 50/68 — exactly
+    the first 50), so with >50 queries a static order starves the tail
+    forever (VERDICT r7 #1).  Reordering by the most recent green row in
+    the committed CORRECTNESS_r*.json files makes the cap rotate: keys
+    skipped in round N sort first in round N+1, so every key gets a
+    driver row at least every ceil(n/50) rounds.  The order is a pure
+    function of the committed round files (deterministic per round);
+    ties break on registry insertion order.
+    """
+    base = _queries_base()
+    last = _last_green_rounds(_REPO.glob("CORRECTNESS_r*.json"))
+    pos = {k: i for i, k in enumerate(base)}
+    ordered = sorted(base, key=lambda k: (last.get(k, 0), pos[k]))
+    return {k: base[k] for k in ordered}
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # BM25 engine stages
         "tokens_tf": q_tokens_tf,
@@ -723,6 +789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_driver_contract.py); correctness is pinned by the
         # naive-trainer differential + hand cases in tests/test_bpe.py.
         "bpe_tokens": q_bpe_tokens,
+        # ...and the trainer's SQL-expressible first stage, hash-
+        # oracled: char-pair histogram whose top row is the first
+        # merge selection (count desc, pair asc tie-break; r8)
+        "bpe_histogram": q_bpe_histogram,
         # sliding-window passage chunking (DPR/ColBERT retrieval prep;
         # r7) — in-row start sequence + slice/array_join, one explicit
         # repartition, no other shuffle
@@ -1723,6 +1793,29 @@ WHERE m.new_id IS NULL
 # Sliding-window passage chunking (r7): starts at multiples of the
 # stride while < n_tokens; passage = tokens[start : start+size]
 # rejoined; zero-token docs emit nothing.  Defaults size=64 stride=32.
+# BPE trainer first stage (operators/bpe.py pair_histogram): initial
+# char+EOW symbol-pair counts over the word histogram; row 1 under
+# (cnt desc, pair asc) is the trainer's first merge selection.
+_BPE_HISTOGRAM_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+  FROM documents
+),
+wh AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+syms AS (
+  SELECT c, list_append(regexp_extract_all(w, '.'), '</w>') AS s
+  FROM wh
+),
+idx AS (
+  SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i FROM syms
+),
+pr AS (SELECT c, s[i] AS a, s[i + 1] AS b FROM idx)
+SELECT a AS pair_a, b AS pair_b, CAST(sum(c) AS BIGINT) AS cnt
+FROM pr GROUP BY a, b
+ORDER BY cnt DESC, pair_a ASC, pair_b ASC
+LIMIT 50
+"""
+
 _CHUNK_PASSAGES_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
@@ -2741,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": _DOMAIN_MIX_SQL,
         "shuffle_rank": _SHUFFLE_RANK_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "bpe_histogram": _BPE_HISTOGRAM_SQL,
         "chunk_passages": _CHUNK_PASSAGES_SQL,
         "novel_docs": _NOVEL_DOCS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

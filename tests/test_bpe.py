@@ -133,3 +133,35 @@ def test_word_histogram_cap(spark):
     )
     hist = B.word_histogram(df, max_words=2)
     assert hist == [("a", 3), ("b", 2)]  # (count desc, word asc)
+
+
+def test_pair_histogram_top_row_is_first_merge(spark):
+    """pair_histogram (the hash-oracled contract stage, r8) must agree
+    with the driver-side trainer: its top row under the (cnt desc,
+    pair asc) ordering IS train_merges' first merge, and its counts
+    equal the trainer's initial pair_counts map."""
+    rng = random.Random(11)
+    vocab = ["banana", "bandana", "ana", "nab", "the", "than"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = B.pair_histogram(df, top_k=1000).collect()
+    got = {(r["pair_a"], r["pair_b"]): r["cnt"] for r in rows}
+    # independent reference: naive pair counts over the word histogram
+    hist = B.word_histogram(df)
+    want: dict[tuple[str, str], int] = {}
+    for w, c in hist:
+        syms = list(w) + [B.EOW]
+        for p in zip(syms, syms[1:]):
+            want[p] = want.get(p, 0) + c
+    assert got == want
+    # top row == the trainer's first merge selection (same tie-break)
+    first = B.train_merges(hist, 1)[0]
+    assert (rows[0]["pair_a"], rows[0]["pair_b"]) == first
+    # ordering contract: cnt desc, then pair asc
+    keys = [(-r["cnt"], r["pair_a"], r["pair_b"]) for r in rows]
+    assert keys == sorted(keys)
