@@ -224,17 +224,47 @@ def minhash_candidate_pairs(
     )
 
 
+NGRAM_JACCARD_MAX_DOCS = 100_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     shingles_df: DataFrame | None = None,
+    max_docs: int | None = NGRAM_JACCARD_MAX_DOCS,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     (doc_a, doc_b, jaccard) — jaccard rounded to 6dp.  Exact-but-
     quadratic-in-collisions; at scale run after minhash_candidate_pairs.
+
+    Guard (VERDICT r7 #6): the self-join is O(collisions²) by design
+    and nothing else stops a caller pointing it at 10⁶ docs, so above
+    ``max_docs`` input docs it refuses (``on_overflow='error'``) or
+    auto-routes to the candidate-bounded exact pipeline
+    (``on_overflow='refine'`` → :func:`jaccard_refined_pairs`, which
+    returns IDENTICAL pairs for any threshold the LSH bands can recall
+    — same exact-jaccard refine, candidates instead of all-pairs).
+    The probe is a cheap ``limit(max_docs+1)`` count, the same
+    two-regime pattern as graph.topological_levels; ``max_docs=None``
+    opts out explicitly.
     """
+    if max_docs is not None:
+        probed = docs.select("doc_id").limit(int(max_docs) + 1).count()
+        if probed > max_docs:
+            if on_overflow == "refine":
+                return jaccard_refined_pairs(
+                    docs, n, threshold, shingles_df=shingles_df
+                )
+            raise ValueError(
+                f"ngram_jaccard_pairs: input exceeds max_docs={max_docs} "
+                "and is exact-but-quadratic — use jaccard_refined_pairs "
+                "(LSH candidates + exact refine), pass "
+                "on_overflow='refine' to auto-route, or max_docs=None "
+                "to force the all-pairs join"
+            )
     sh = shingles_df if shingles_df is not None else shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

@@ -262,3 +262,41 @@ def test_keep_first_dedup_paths_have_no_window(spark):
     for line in buf.getvalue().splitlines():
         if "Window" in line:
             assert "span_key" not in line, line
+
+
+def test_ngram_jaccard_quadratic_guard(spark):
+    """VERDICT r7 #6: ngram_jaccard_pairs is exact-but-O(n²) by design;
+    above max_docs it must refuse with guidance (default) or auto-route
+    to the candidate-bounded jaccard_refined_pairs — and the routed
+    result must equal the all-pairs result on a corpus where the LSH
+    bands recall every qualifying pair (identical near-dup texts)."""
+    from lean_explore_spark.operators import dedup as D
+
+    # twin docs are IDENTICAL (jaccard 1.0 — always LSH-recalled);
+    # non-twins share no shingles (jaccard 0), so all-pairs and
+    # LSH+refine must return the same pair set
+    rows = [
+        (i, " ".join(f"p{i // 2}w{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # under the cap: runs all-pairs
+    full = D.ngram_jaccard_pairs(docs, max_docs=1000)
+    got_full = {(r.doc_a, r.doc_b, r.jaccard) for r in full.collect()}
+    assert got_full  # the tail{i//2} twins are near-identical pairs
+
+    # over the cap: default errors with routing guidance...
+    with pytest.raises(ValueError, match="jaccard_refined_pairs"):
+        D.ngram_jaccard_pairs(docs, max_docs=10).count()
+
+    # ...and on_overflow='refine' auto-routes to the LSH+refine path,
+    # which returns the same exact-jaccard pairs here
+    routed = D.ngram_jaccard_pairs(docs, max_docs=10, on_overflow="refine")
+    got_routed = {(r.doc_a, r.doc_b, r.jaccard) for r in routed.collect()}
+    assert got_routed == got_full
+
+    # explicit opt-out still allows the all-pairs join
+    assert (
+        D.ngram_jaccard_pairs(docs, max_docs=None).count() == len(got_full)
+    )
