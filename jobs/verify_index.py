@@ -184,6 +184,81 @@ def verify_shards(spark, shards_dir: str) -> dict:
     }
 
 
+def verify_packed(spark, packed_dir: str) -> dict:
+    """fsck for a packed-token-sequence set (pipeline_demo --bpe:
+    textstats.pack_token_ids output written as fixed-size shards).
+    Checks sequence-token CONSERVATION against _PACKED_META.json —
+    sum of on-disk shard tokens == the packed total the pipeline
+    observed — plus structural invariants: seq_id is a complete range
+    0..n-1, every sequence except the last carries exactly ``budget``
+    tokens, every row's array length equals its n_tokens column, no
+    OOV (-1) ids, and every row sits in shard ``seq_id div
+    seqs_per_shard``.  One aggregation pass, no collect of the data.
+    """
+    root = Path(packed_dir)
+    meta = json.loads((root / "_PACKED_META.json").read_text())
+    df = spark.read.parquet(packed_dir)
+    b = int(meta["budget"])
+    sps = int(meta["seqs_per_shard"])
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.min("seq_id").alias("smin"),
+        F.max("seq_id").alias("smax"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum((F.size("token_ids") != F.col("n_tokens")).cast("long")).alias(
+            "len_mismatch"
+        ),
+        F.sum((F.col("n_tokens") != F.lit(b)).cast("long")).alias(
+            "n_short"
+        ),
+        F.max(
+            F.when(F.col("n_tokens") != F.lit(b), F.col("seq_id"))
+        ).alias("short_seq"),
+        F.sum(F.expr("cast(array_contains(token_ids, -1) as long)")).alias(
+            "oov_rows"
+        ),
+        F.sum(
+            (F.col("shard") != F.expr(f"seq_id div {sps}")).cast("long")
+        ).alias("misplaced"),
+    ).collect()[0]
+    mismatches = []
+    n = int(agg["n"])
+    if n != int(meta["n_sequences"]):
+        mismatches.append(
+            f"sequence count {n} != meta {meta['n_sequences']}"
+        )
+    if int(agg["total_tokens"] or 0) != int(meta["total_tokens"]):
+        mismatches.append(
+            f"token sum {agg['total_tokens']} != meta "
+            f"{meta['total_tokens']} (conservation broken)"
+        )
+    if not (agg["n_seqs"] == n and agg["smin"] == 0 and agg["smax"] == n - 1):
+        mismatches.append(
+            f"seq_id set is not 0..{n - 1}: distinct={agg['n_seqs']} "
+            f"min={agg['smin']} max={agg['smax']}"
+        )
+    n_short = int(agg["n_short"] or 0)
+    if n_short > 1 or (
+        n_short == 1 and int(agg["short_seq"]) != int(agg["smax"])
+    ):
+        mismatches.append(
+            f"{n_short} sequences shorter than budget {b} "
+            f"(only the final one may be; shortest at seq "
+            f"{agg['short_seq']})"
+        )
+    for fld in ("len_mismatch", "oov_rows", "misplaced"):
+        if int(agg[fld] or 0):
+            mismatches.append(f"{fld}: {int(agg[fld])}")
+    return {
+        "ok": not mismatches,
+        "sequences": n,
+        "total_tokens": int(agg["total_tokens"] or 0),
+        "budget": b,
+        "mismatches": mismatches,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
@@ -202,13 +277,22 @@ def main() -> None:
         "(pipeline_demo --emit-shards): verify the global shuffle "
         "permutation and shard placement",
     )
+    ap.add_argument(
+        "--packed",
+        action="store_true",
+        help="treat --index as a packed-token-sequence directory "
+        "(pipeline_demo --bpe): verify sequence-token conservation "
+        "against _PACKED_META.json and fixed-size structure",
+    )
     args = ap.parse_args()
     spark = get_spark(
         app_name="verify_index",
         master=f"local[{args.cpus}]" if args.cpus else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if args.shards:
+    if args.packed:
+        out = verify_packed(spark, args.index)
+    elif args.shards:
         out = verify_shards(spark, args.index)
     elif args.segments:
         out = verify_segments(spark, args.index)

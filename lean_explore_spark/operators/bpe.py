@@ -183,6 +183,39 @@ def bpe_train(
     return train_merges(word_histogram(docs, max_words), n_merges)
 
 
+def bpe_vocab(
+    histogram: List[Tuple[str, int]], merges: List[Merge]
+) -> Dict[str, int]:
+    """Deterministic symbol → id map for a trained tokenizer: the
+    corpus alphabet (single characters + EOW), sorted, takes ids
+    0..|A|-1, then each merge product takes the next id in merge
+    order (the GPT-2/SentencePiece convention: base vocabulary first,
+    learned merges appended).  A pure function of (histogram, merges),
+    so ids are stable across runs/partitionings like the merges
+    themselves."""
+    alphabet = {EOW}
+    for w, _ in histogram:
+        alphabet.update(w)
+    vocab: Dict[str, int] = {
+        s: i for i, s in enumerate(sorted(alphabet))
+    }
+    for a, b in merges:
+        ab = a + b
+        if ab not in vocab:
+            vocab[ab] = len(vocab)
+    return vocab
+
+
+def bpe_train_full(
+    docs: DataFrame, n_merges: int = 1000, max_words: int = 1_000_000
+) -> Tuple[List[Merge], Dict[str, int]]:
+    """(merges, vocab) from ONE histogram pass — the corpus is
+    touched once; both artifacts are pure functions of the histogram."""
+    hist = word_histogram(docs, max_words)
+    merges = train_merges(hist, n_merges)
+    return merges, bpe_vocab(hist, merges)
+
+
 def encode_word(word: str, ranks: Dict[Merge, int]) -> List[str]:
     """Greedy lowest-rank-first BPE encode of one word (HF semantics:
     repeatedly merge the present pair with the smallest merge rank)."""
@@ -241,4 +274,54 @@ def bpe_token_counts(docs: DataFrame, merges: List[Merge]) -> DataFrame:
 
     return tok.mapInPandas(
         enc, schema="doc_id long, n_words long, n_bpe_tokens long"
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame, merges: List[Merge], vocab: Dict[str, int]
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens, token_ids): the MATERIALIZED subword id
+    stream per doc — what a training pipeline actually emits (the
+    counting twin is :func:`bpe_token_counts`).  Same shape: merge
+    ranks + vocab broadcast once, one narrow Arrow pass with a
+    per-batch word→ids memo, zero shuffle.  A symbol outside the vocab
+    (impossible when encoding the corpus the tokenizer was fitted on;
+    possible for unseen text) maps to id -1 — an explicit OOV marker
+    rather than a silent skip, so token counts stay conserved."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    ranks = {p: i for i, p in enumerate(merges)}
+    bc = spark.sparkContext.broadcast((ranks, vocab))
+    tok = docs.select("doc_id", F.expr(SQL_TOKENS).alias("_words"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r, v = bc.value
+        memo: Dict[str, List[int]] = {}
+        for pdf in batches:
+            ids_col = []
+            n_col = []
+            for words in pdf["_words"]:
+                ids: List[int] = []
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        got = [
+                            v.get(s, -1) for s in encode_word(w, r)
+                        ]
+                        memo[w] = got
+                    ids.extend(got)
+                ids_col.append(ids)
+                n_col.append(len(ids))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": pd.Series(n_col, dtype="int64"),
+                    "token_ids": ids_col,
+                }
+            )
+
+    return tok.mapInPandas(
+        enc,
+        schema="doc_id long, n_bpe_tokens long, token_ids array<int>",
     )

@@ -645,7 +645,9 @@ def unigram_nll(docs: DataFrame, broadcast_lm: bool = True) -> DataFrame:
     )
 
 
-def pack_sequences(docs: DataFrame, budget: int = 4096) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, budget: int = 4096, sized: DataFrame | None = None
+) -> DataFrame:
     """Training-sequence packing — the pretraining data-prep step that
     concatenates the tokenized corpus in a deterministic document
     order and chunks it into fixed ``budget``-token training
@@ -666,17 +668,27 @@ def pack_sequences(docs: DataFrame, budget: int = 4096) -> DataFrame:
     #partitions rows) broadcast back as prefix offsets via a range
     join on partition id.  Two narrow shuffles + one broadcast —
     works unchanged at 10^12 docs.  All arithmetic is integer, so the
-    DuckDB oracle (one window cumsum) matches bit-for-bit."""
+    DuckDB oracle (one window cumsum) matches bit-for-bit.
+
+    ``sized`` (doc_id, n_tokens) overrides the default whitespace
+    sizing — the BPE packing path (r8) passes real subword counts so
+    the packed-sequence artifact and this assignment agree exactly.
+    The ordering key stays ``doc_id``: pass a VALUE rank (e.g.
+    mixing.shuffle_rank) as doc_id to pack in shuffled order."""
     from pyspark.sql import Window
 
     sc = docs.sparkSession.sparkContext
     nparts = max(2, sc.defaultParallelism)
     sized = (
-        docs.select(
+        sized.select("doc_id", F.col("n_tokens").cast("long"))
+        if sized is not None
+        else docs.select(
             "doc_id",
             F.size(F.expr(SQL_TOKENS)).cast("long").alias("n_tokens"),
         )
-        .repartitionByRange(nparts, "doc_id")
+    )
+    sized = (
+        sized.repartitionByRange(nparts, "doc_id")
         .withColumn("_pid", F.spark_partition_id())
     )
     # PIN the physical layout before anything consumes it twice:
@@ -734,6 +746,79 @@ def pack_sequences(docs: DataFrame, budget: int = 4096) -> DataFrame:
                 "first_seq"
             ),
             F.expr(f"_end div {budget}").cast("long").alias("last_seq"),
+        )
+    )
+
+
+def pack_token_ids(
+    encoded: DataFrame, budget: int = 4096, order_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the packed training sequences themselves (r8,
+    VERDICT r7 #4): ``encoded`` is (order_col, n_tokens-like count,
+    token_ids array<int>) — bpe.bpe_encode_ids output — and the result
+    is (seq_id, n_tokens, token_ids) where sequences are the
+    ``budget``-sized chunks of the corpus token stream concatenated in
+    ascending ``order_col`` order (GPT-style packing: documents span
+    sequence boundaries).  Every sequence has exactly ``budget``
+    tokens except the last.
+
+    Scale shape: position assignment reuses :func:`pack_sequences`'
+    two-phase parallel prefix sum (never a global window).  Token data
+    then moves ONCE, as per-(doc, seq) array SLICES — a doc
+    contributes one row per sequence it touches (≥1, +1 per boundary
+    crossed), so the shuffle is O(docs + crossings) compact array rows,
+    not O(tokens) scalar rows.  The per-sequence rebuild is a
+    groupBy(seq_id) whose collect_list is bounded by ``budget`` pieces,
+    ordered by each piece's in-sequence offset (array_sort on a
+    struct — consumed once, the HOF single-consumer rule)."""
+    cnt = encoded.columns[1]
+    sized = encoded.select(
+        F.col(order_col).alias("doc_id"),
+        F.col(cnt).cast("long").alias("n_tokens"),
+    )
+    pos = pack_sequences(sized, budget=budget, sized=sized)
+    placed = (
+        encoded.select(
+            F.col(order_col).alias("doc_id"), "token_ids"
+        )
+        .join(pos, "doc_id")
+        .where(F.col("n_tokens") > 0)
+    )
+    b = int(budget)
+    pieces = placed.select(
+        F.explode(
+            F.expr("sequence(first_seq, last_seq)")
+        ).alias("seq_id"),
+        "token_ids",
+        "start_pos",
+        "n_tokens",
+    ).select(
+        "seq_id",
+        F.expr(f"greatest(start_pos - seq_id * {b}, 0L)").alias(
+            "pos_in_seq"
+        ),
+        F.expr(
+            # 1-based slice of this doc's ids that lands in seq_id
+            f"slice(token_ids, "
+            f"cast(greatest(seq_id * {b} - start_pos, 0L) + 1 as int), "
+            f"cast(least((seq_id + 1) * {b}, start_pos + n_tokens)"
+            f" - greatest(seq_id * {b}, start_pos) as int))"
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos_in_seq, piece))), x -> x.piece)"
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            "seq_id",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "token_ids",
         )
     )
 

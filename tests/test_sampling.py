@@ -480,3 +480,89 @@ def test_pipeline_demo_assembly_stages(spark, tmp_path):
     shutil.rmtree(victims[0])
     bad = verify_shards(spark, str(broken))
     assert not bad["ok"] and bad["mismatches"]
+
+
+def test_pipeline_bpe_pack_finale(spark, tmp_path):
+    """r8 tokenizer+packing finale (VERDICT r7 #4): the pipeline ends
+    at fixed-length PACKED TOKEN sequences.  Token conservation holds
+    end-to-end — sum of on-disk packed shard tokens == the pipeline's
+    observed packed total == an independent re-encode of the emitted
+    corpus — and verify_index --packed greenlights the artifact (and
+    catches a ripped-out shard)."""
+    import json
+    import shutil
+    import sys
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_demo import run_pipeline
+    from verify_index import verify_packed
+
+    from lean_explore_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    shards_dir = tmp_path / "shards"
+    packed_dir = tmp_path / "packed"
+    budget = 128
+    out = run_pipeline(
+        spark, docs, str(tmp_path / "pidx_bpe"),
+        shards_out=str(shards_dir), shard_docs=64,
+        bpe_pack=(200, budget, str(packed_dir), 8),
+        num_shards=2, num_buckets=4,
+    )
+    c = out["counts"]
+
+    # independent re-encode of the emitted corpus: totals must agree
+    emitted = spark.read.parquet(str(shards_dir)).select(
+        F.col("shuffle_rank").alias("doc_id"), "text"
+    )
+    merges, vocab = B.bpe_train_full(emitted, n_merges=200)
+    total = (
+        B.bpe_encode_ids(emitted, merges, vocab)
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert c["packed_tokens"] == total
+    assert c["packed_sequences"] == -(-total // budget)  # exact ceil
+
+    # on-disk conservation + meta marker written last
+    meta = json.loads((packed_dir / "_PACKED_META.json").read_text())
+    assert meta["total_tokens"] == total
+    disk = spark.read.parquet(str(packed_dir))
+    agg = disk.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n")
+    ).collect()[0]
+    assert agg["t"] == total and agg["n"] == c["packed_sequences"]
+    # every sequence except the last is exactly budget
+    short = disk.where(F.col("n_tokens") != budget).collect()
+    assert len(short) <= 1
+    if short:
+        assert short[0]["seq_id"] == c["packed_sequences"] - 1
+
+    ok = verify_packed(spark, str(packed_dir))
+    assert ok["ok"] and ok["total_tokens"] == total
+
+    broken = tmp_path / "packed_broken"
+    shutil.copytree(packed_dir, broken)
+    victims = sorted(p for p in broken.glob("shard=*"))
+    shutil.rmtree(victims[-1])
+    bad = verify_packed(spark, str(broken))
+    assert not bad["ok"] and bad["mismatches"]
+
+
+def test_pipeline_bpe_requires_shard_emit(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import pytest as _pytest
+    from pipeline_demo import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="shards_out"):
+        run_pipeline(
+            spark, docs, str(tmp_path / "x"),
+            bpe_pack=(10, 16, str(tmp_path / "p"), 4),
+        )
