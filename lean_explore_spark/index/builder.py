@@ -636,11 +636,21 @@ class IndexBuilder:
     # -- orchestration ---------------------------------------------------
 
     def build(
-        self, docs: DataFrame, resume: bool = True, wave_size: int | None = None
+        self,
+        docs: DataFrame,
+        resume: bool = True,
+        wave_size: int | None = None,
+        near_dup_artifact: bool = False,
     ) -> dict:
         """``wave_size`` = shards packed (and committed) per Spark job;
         None packs all pending shards in one job — fastest, coarsest
-        checkpoint.  Smaller waves give finer-grained resume."""
+        checkpoint.  Smaller waves give finer-grained resume.
+
+        ``near_dup_artifact=True`` additionally persists the corpus's
+        incremental-gate state (dedup.write_near_dup_artifact) under
+        ``<index>/near_dup`` so refresh batches can run
+        dedup.novel_docs_stored without rescanning this corpus (opt-in:
+        it adds a shingle+minhash pass over the corpus to build time)."""
         if not resume and self.paths.root.exists():
             shutil.rmtree(self.paths.root)
         self.paths.root.mkdir(parents=True, exist_ok=True)
@@ -668,6 +678,14 @@ class IndexBuilder:
         t0 = time.time()
         self.write_dictionary()
         timings["dictionary_sec"] = round(time.time() - t0, 2)
+        if near_dup_artifact:
+            from lean_explore_spark.operators import dedup as _dedup
+
+            t0 = time.time()
+            _dedup.write_near_dup_artifact(
+                docs, str(self.paths.root / "near_dup")
+            )
+            timings["near_dup_artifact_sec"] = round(time.time() - t0, 2)
         stats["stage_timings"] = timings
         return stats
 

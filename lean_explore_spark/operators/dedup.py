@@ -1114,3 +1114,150 @@ def novel_docs(
         "doc_id",
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------
+# Stored near-dup artifact (VERDICT r7 #2): the incremental gate's
+# at-scale form.  The live corpus moves only as two small index-
+# adjacent parquet tables, written once at build/segment time; every
+# refresh batch pays its own side only — the old corpus TEXT is never
+# rescanned.
+# ---------------------------------------------------------------------
+
+NEAR_DUP_META = "near_dup_meta.json"
+
+
+def write_near_dup_artifact(
+    docs: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> dict:
+    """Persist the corpus-side state of the incremental near-dup gate
+    under ``path``: ``band_keys/`` (doc_id, band, band_key — the LSH
+    candidate index, ~num_bands short rows per doc) and
+    ``shingle_ints/`` (doc_id, x — distinct 60-bit shingle hashes, the
+    refine side, ~8 bytes per token before parquet encoding; the raw
+    shingle STRINGS are n× the corpus text and are deliberately not
+    stored — the 60-bit collision bound is the documented
+    :func:`_shingle_int` one).  ``near_dup_meta.json`` pins the
+    parameters; :func:`novel_docs_stored` reads n/num_hashes/band_rows
+    from the meta, so the batch side can never band-join with keys
+    computed under different parameters.
+
+    Meta is written LAST (atomic os.replace) so readers gated on it
+    never see a half-written artifact — the same app-marker visibility
+    rule as the index builder's _STAGING_DONE (CLAUDE.md).
+    """
+    import json as _json
+    import os
+    from pathlib import Path
+
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    sh = shingles(docs, n)
+    _band_keys(docs, n, num_hashes, band_rows, shingles_df=sh).write.mode(
+        "overwrite"
+    ).parquet(str(root / "band_keys"))
+    sh.select("doc_id", _shingle_int().alias("x")).distinct().write.mode(
+        "overwrite"
+    ).parquet(str(root / "shingle_ints"))
+    meta = {
+        "n": int(n),
+        "num_hashes": int(num_hashes),
+        "band_rows": int(band_rows),
+    }
+    tmp = root / (NEAR_DUP_META + ".tmp")
+    tmp.write_text(_json.dumps(meta, indent=1))
+    os.replace(tmp, root / NEAR_DUP_META)
+    return meta
+
+
+def novel_docs_stored(
+    new_docs: DataFrame,
+    artifact_path: str,
+    threshold: float = 0.5,
+    refine: bool = True,
+) -> DataFrame:
+    """:func:`novel_docs` against a STORED corpus artifact — the
+    refresh-time entry point.  Returns the new docs with no stored
+    near-duplicate (same semantics as the recompute path; equality is
+    pinned in tests/test_incremental_gate.py).
+
+    Recurring cost is the NEW-BATCH side only: shingle + band-key the
+    batch, band equi-join against the stored key table, then refine
+    candidate pairs against the stored shingle ints — the stored
+    shingle scan is pruned by a semi-join on the candidate old ids (a
+    naturally small set: old docs that near-collide with this batch),
+    which AQE turns into a broadcast filter ahead of the scan's
+    shuffle.  The old corpus text is never read.
+    """
+    import json as _json
+    from pathlib import Path
+
+    spark = new_docs.sparkSession
+    root = Path(artifact_path)
+    meta = _json.loads((root / NEAR_DUP_META).read_text())
+    n, num_hashes, band_rows = (
+        meta["n"], meta["num_hashes"], meta["band_rows"]
+    )
+    ko = spark.read.parquet(str(root / "band_keys"))
+    old_x = spark.read.parquet(str(root / "shingle_ints"))
+
+    new_sh = shingles(new_docs, n)
+    kn = _band_keys(
+        new_docs, n, num_hashes, band_rows, shingles_df=new_sh
+    ).alias("kn")
+    cand = (
+        kn.join(
+            ko.alias("ko"),
+            (F.col("kn.band") == F.col("ko.band"))
+            & (F.col("kn.band_key") == F.col("ko.band_key")),
+        )
+        .select(
+            F.col("kn.doc_id").alias("new_id"),
+            F.col("ko.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    if refine:
+        new_x = new_sh.select(
+            "doc_id", _shingle_int().alias("x")
+        ).distinct()
+        new_sizes = new_x.groupBy("doc_id").agg(F.count("*").alias("na"))
+        # prune the stored scan to candidate old docs BEFORE it
+        # shuffles — the candidate id set is small by nature
+        old_ids = cand.select(F.col("old_id").alias("doc_id")).distinct()
+        old_sub = old_x.join(old_ids, "doc_id", "semi")
+        old_sizes = old_sub.groupBy("doc_id").agg(F.count("*").alias("nb"))
+        a = new_x.alias("a")
+        b = old_sub.alias("b")
+        common = (
+            cand.join(a, F.col("a.doc_id") == F.col("new_id"))
+            .join(
+                b,
+                (F.col("b.doc_id") == F.col("old_id"))
+                & (F.col("b.x") == F.col("a.x")),
+            )
+            .groupBy("new_id", "old_id")
+            .agg(F.count("*").alias("common"))
+        )
+        matched = (
+            common.join(new_sizes, F.col("doc_id") == F.col("new_id"))
+            .drop("doc_id")
+            .join(old_sizes, F.col("doc_id") == F.col("old_id"))
+            .where(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+                >= F.lit(float(threshold))
+            )
+            .select("new_id")
+        )
+    else:
+        matched = cand.select("new_id")
+    return new_docs.join(
+        matched.distinct().withColumnRenamed("new_id", "doc_id"),
+        "doc_id",
+        "left_anti",
+    )

@@ -187,6 +187,33 @@ def test_decontaminate_self_and_repeated_hits(spark):
     assert out[2] == (2, 1)  # the 8-gram at pos 1 and pos 10
 
 
+def test_decontaminate_crafted_eval_probe(spark):
+    """The realistic probe shape jobs/curation_bench.py measures at
+    scale (VERDICT r7 #7): an eval-style QUESTION wrapping a verbatim
+    10-token span lifted from a corpus doc.  Position-level checks:
+    the boilerplate adds no hits (seam grams carry <8 corpus tokens),
+    the lifted span yields exactly 10-8+1 = 3 doc gram positions, and
+    a one-word paraphrase breaks every 8-gram run to zero."""
+    body = _seq(0, 30)
+    corpus = _docs(spark, [(1, body), (2, _seq(100, 30))])
+    span = _seq(5, 10)                       # doc 1 tokens 5..14
+    tokens = span.split()
+    tokens[5] = "paraphrased"                # break the middle
+    para = " ".join(tokens)
+    boiler_pre = "question which passage states that"
+    boiler_post = "answer choices follow below"
+    probes = _docs(spark, [
+        (900, f"{boiler_pre} {span} {boiler_post}"),
+        (901, f"{boiler_pre} {para} {boiler_post}"),
+    ])
+    out = {
+        r.doc_id: (r.hit_grams, r.contaminated)
+        for r in D.decontaminate(corpus, probes).collect()
+    }
+    assert out[1] == (3, 1)   # exactly positions 5, 6, 7 of doc 1
+    assert out[2] == (0, 0)   # untouched doc stays clean
+
+
 def test_pack_sequences_hand_example(spark):
     # budget 10; docs (in doc_id order) of 4, 9, 0, 10, 3 tokens:
     # starts 0, 4, 13, 13, 23; ends 3, 12, 13, 22, 25

@@ -1,0 +1,123 @@
+"""Stored-artifact incremental near-dup gate (VERDICT r7 #2): the
+corpus-side state persists once at build/segment time and refresh
+batches run dedup.novel_docs_stored against it — counts identical to
+the self-contained recompute path, old corpus text never rescanned."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lean_explore_spark.operators import dedup as D
+
+BASE_A = ("the quick brown fox jumps over the lazy dog while rain "
+          "falls softly on the quiet village roofs tonight")
+BASE_B = ("completely different content about database engines and "
+          "vectorized execution plans with columnar storage formats")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"word{i}" for i in range(120)]
+    old_rows = [(i, " ".join(rng.choice(vocab) for _ in range(30)))
+                for i in range(1, 61)]
+    old_rows += [(100, BASE_A), (101, BASE_B)]
+    # new batch: exact copy, near-dup (suffix noise), fresh docs, and a
+    # doc too short to shingle
+    new_rows = [
+        (200, BASE_A),
+        (201, BASE_A + " zz qq ww"),
+        (202, old_rows[5][1]),
+        (203, "entirely fresh text about gardening tips and soil"),
+        (204, "hi"),
+    ] + [(210 + i, " ".join(rng.choice(vocab) for _ in range(25)))
+         for i in range(10)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    return old, new
+
+
+@pytest.fixture(scope="module")
+def artifact(spark, corpus, tmp_path_factory):
+    old, _ = corpus
+    path = str(tmp_path_factory.mktemp("gate") / "near_dup")
+    meta = D.write_near_dup_artifact(old, path)
+    return path, meta
+
+
+def test_artifact_layout_and_meta(spark, artifact, corpus):
+    path, meta = artifact
+    old, _ = corpus
+    assert meta == {"n": 3, "num_hashes": D.NUM_HASHES,
+                    "band_rows": D.BAND_ROWS}
+    disk = json.loads(open(f"{path}/{D.NEAR_DUP_META}").read())
+    assert disk == meta
+    keys = spark.read.parquet(f"{path}/band_keys")
+    assert set(keys.columns) == {"doc_id", "band", "band_key"}
+    # every shingle-able old doc carries every band
+    n_bands = D.NUM_HASHES // D.BAND_ROWS
+    per_doc = {r["doc_id"]: r["cnt"] for r in
+               keys.groupBy("doc_id").count()
+                   .withColumnRenamed("count", "cnt").collect()}
+    assert all(v == n_bands for v in per_doc.values())
+    ints = spark.read.parquet(f"{path}/shingle_ints")
+    assert set(ints.columns) == {"doc_id", "x"}
+    # distinct 60-bit ints == distinct string shingles per doc
+    want = dict(
+        D.shingles(old).groupBy("doc_id").count().collect()
+    )
+    got = dict(ints.groupBy("doc_id").count().collect())
+    assert got == want
+
+
+@pytest.mark.parametrize("refine", [True, False])
+def test_stored_gate_matches_recompute(spark, corpus, artifact, refine):
+    old, new = corpus
+    path, _ = artifact
+    want = sorted(
+        r["doc_id"]
+        for r in D.novel_docs(new, old, refine=refine).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in D.novel_docs_stored(new, path, refine=refine).collect()
+    )
+    assert got == want
+    # the crafted cases behave: copies/near-dups dropped, fresh + tiny kept
+    assert 200 not in got and 201 not in got and 202 not in got
+    assert 203 in got and 204 in got
+
+
+def test_stored_gate_threshold_routes_through_refine(spark, corpus, artifact):
+    _, new = corpus
+    path, _ = artifact
+    # threshold=0 with refine drops every band-candidate (any overlap
+    # qualifies); threshold just above the near-dup's jaccard keeps it
+    strict = {r["doc_id"] for r in
+              D.novel_docs_stored(new, path, threshold=0.999).collect()}
+    assert 201 in strict          # suffix-noise near-dup survives at 0.999
+    assert 200 not in strict      # exact copy is jaccard 1.0
+
+
+def test_builder_emits_artifact_and_gate_runs(spark, corpus, tmp_path):
+    from lean_explore_spark.index.builder import IndexBuilder
+
+    old, new = corpus
+    out = tmp_path / "idx"
+    stats = IndexBuilder(spark, str(out), num_shards=4, num_buckets=4).build(
+        old, resume=False, near_dup_artifact=True
+    )
+    assert "near_dup_artifact_sec" in stats["stage_timings"]
+    gate_dir = f"{out}/near_dup"
+    assert json.loads(open(f"{gate_dir}/{D.NEAR_DUP_META}").read())["n"] == 3
+    got = sorted(
+        r["doc_id"] for r in D.novel_docs_stored(new, gate_dir).collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in D.novel_docs(new, old).collect()
+    )
+    assert got == want
