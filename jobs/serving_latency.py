@@ -15,6 +15,11 @@ Modes:
 * ``distributed_batch`` (opt-in via --modes) — the whole sweep in ONE
   Spark job (search_tokens_distributed_batch, r5); reports wall+QPS
   only, since per-query latency is meaningless inside a batch.
+* ``auto`` (r8, VERDICT r7 #5) — posting-mass routing: light queries
+  take the sequential preloaded kernel, queries whose Σ df crosses
+  SearchEngine.HOT_MASS_THRESHOLD fan shards across threads
+  (search_tokens_routed).  ``parallel`` forces the threaded kernel on
+  every query (threshold ablation).  Both bit-identical to preloaded.
 * ``hybrid_driver`` / ``hybrid_spark`` / ``hybrid_ann`` (opt-in) —
   the FULL hybrid pipeline (embed → cosine candidates → threshold →
   candidate BM25 → combine), embedding matrix preloaded / per-query
@@ -157,6 +162,19 @@ def main() -> None:
         elif mode == "distributed":
             eng = SearchEngine(spark, str(idx), preload=True)
             fn = lambda q, k: eng.search_distributed(q, k)  # noqa: E731
+        elif mode == "auto":
+            # r8 (VERDICT r7 #5): posting-mass routing — light queries
+            # keep the sequential preloaded kernel, hot ones fan their
+            # shards across threads (search_tokens_routed); targets
+            # the 6.4M p95 tail without touching the 25 ms median
+            eng = SearchEngine(spark, str(idx), preload=True)
+            fn = lambda q, k: eng.search_routed(q, k)  # noqa: E731
+        elif mode == "parallel":
+            # the hot-path kernel unconditionally (threshold ablation)
+            eng = SearchEngine(spark, str(idx), preload=True)
+            fn = lambda q, k: eng.search_tokens_parallel(  # noqa: E731
+                eng.analyze_query(q), k
+            )
         elif mode.startswith("segmented"):
             # r6 (r5 VERDICT #2): serve a SEGMENTED index — base =
             # 7/8 of the corpus, 4 delta segments over the tail —

@@ -288,6 +288,105 @@ class SearchEngine:
 
         return self._finalize(heap, ctx, k)
 
+    # Routed-serving posting-mass threshold (r8, VERDICT r7 #5): below
+    # this many total postings (Σ df over live query terms) the
+    # sequential driver kernel wins (thread fan-out can't pay for
+    # itself); above it, hot terms decode in parallel across shards.
+    # Set from the measured 6.4M crossover (BENCH.md §13b).
+    HOT_MASS_THRESHOLD = 100_000
+
+    def search_tokens_parallel(
+        self, tokens: Sequence[str], k: int = 50, threads: int | None = None
+    ) -> List[Tuple[int, float]]:
+        """Hot-query driver path (r8): the same per-shard block-max
+        kernel fanned across a THREAD pool.  Each shard scores into its
+        own local k-heap (exactly the distributed path's per-task
+        shape) and the driver merges by (score desc, doc_id asc) — the
+        per-shard-superset argument from search_tokens_distributed
+        applies unchanged, so results are bit-identical to
+        search_tokens (asserted in tests/test_distributed_search.py).
+        The kernels are numpy-vectorized end to end (unpack,
+        searchsorted, X-matrix fill), so they release the GIL and hot
+        postings really decode in parallel; doc-length slices are
+        prefetched serially because the LRU cache is not thread-safe
+        (preload mode: a dict hit; cold mode: the same reads
+        search_tokens would do)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        k = min(k, self.n_docs)
+        if k <= 0:
+            return []
+        ctx, uterms, uindex = self._build_ctx(tokens)
+        heap: List[Tuple[float, int, int]] = []
+        if uterms:
+            by_shard = self._fetch_postings(uterms)
+            dls = {s: self._doc_lens(s) for s in by_shard}
+
+            def run_shard(shard: int) -> list:
+                dl_ids, dl_lens = dls[shard]
+                cursors = [
+                    wand.TermCursor(_row_to_packed(r), uindex[t], dl_ids)
+                    for t, r in by_shard[shard]
+                ]
+                local: list = []
+                total = sum(c.packed.count for c in cursors)
+                if total <= self.BULK_THRESHOLD:
+                    wand.bulk_score_shard(
+                        cursors, ctx, dl_ids, dl_lens, local, k
+                    )
+                else:
+                    wand.blockmax_bulk_shard(
+                        cursors, ctx, dl_ids, dl_lens, local, k
+                    )
+                return local
+
+            n = threads or min(len(by_shard), os.cpu_count() or 8)
+            if n <= 1:
+                locals_ = [run_shard(s) for s in sorted(by_shard)]
+            else:
+                with ThreadPoolExecutor(max_workers=n) as ex:
+                    locals_ = list(ex.map(run_shard, sorted(by_shard)))
+            cand = [(e[0], e[2]) for loc in locals_ for e in loc]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            heap = [(s, -d, d) for s, d in cand[:k]]
+        return self._finalize(heap, ctx, k)
+
+    def query_posting_mass(self, tokens: Sequence[str]) -> int:
+        """Σ df over the query's live terms — the routing signal.  In
+        preload mode this is a dictionary-dict lookup (the df column is
+        already in hand); cold mode pays one pruned dictionary read."""
+        dfs = self._lookup_dfs(sorted(set(tokens))) if tokens else {}
+        return int(sum(dfs.values()))
+
+    def search_tokens_routed(
+        self,
+        tokens: Sequence[str],
+        k: int = 50,
+        mass_threshold: int | None = None,
+        threads: int | None = None,
+    ) -> List[Tuple[int, float]]:
+        """Auto serving (r8, VERDICT r7 #5): route per query by posting
+        mass.  The 6.4M measurement (BENCH.md §13) showed the
+        sequential driver loop's MEDIAN holds at 16× corpus growth but
+        its tail inverts — hot reference terms carry 16× the postings
+        and serialize on one core (p95 645 ms).  Light queries keep the
+        sequential kernel (no fan-out overhead on its 25 ms median);
+        queries whose Σ df crosses the threshold fan their shards
+        across threads.  Both paths are bit-identical, so routing can
+        never change a result, only its latency."""
+        thr = (
+            self.HOT_MASS_THRESHOLD
+            if mass_threshold is None
+            else int(mass_threshold)
+        )
+        if self.query_posting_mass(tokens) > thr:
+            return self.search_tokens_parallel(tokens, k, threads=threads)
+        return self.search_tokens(tokens, k)
+
+    def search_routed(self, query: str, k: int = 50) -> List[Tuple[int, float]]:
+        return self.search_tokens_routed(self.analyze_query(query), k)
+
     def score_candidates(
         self, tokens: Sequence[str], doc_ids: Sequence[int]
     ) -> Dict[int, float]:

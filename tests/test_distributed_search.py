@@ -112,3 +112,30 @@ def test_batch_distributed_per_query_k_and_modes(engine):
 
     with pytest.raises(ValueError):
         engine.search_tokens_distributed_batch(token_lists, [5, 6])
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_parallel_driver_equals_local(engine, query):
+    """r8 hot-query path: the thread-fanned per-shard kernel merges
+    local k-heaps exactly like the distributed path and must be
+    bit-identical to the sequential driver loop."""
+    tokens = tokenize_stem(query)
+    local = engine.search_tokens(tokens, 20)
+    for threads in (1, 4):
+        assert engine.search_tokens_parallel(tokens, 20, threads=threads) == local
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_routed_equals_local_both_sides_of_threshold(engine, query):
+    """Routing by posting mass can change latency, never results:
+    force the query down BOTH paths and pin bit-identity; also check
+    the routing signal itself (sum of live-term dfs)."""
+    tokens = tokenize_stem(query)
+    local = engine.search_tokens(tokens, 20)
+    # threshold 0 -> any live query routes parallel; huge -> sequential
+    if engine.query_posting_mass(tokens) > 0:
+        assert engine.search_tokens_routed(tokens, 20, mass_threshold=0) == local
+    assert engine.search_tokens_routed(tokens, 20, mass_threshold=10**15) == local
+    # signal sanity: mass equals the dictionary df sum of live terms
+    dfs = engine._lookup_dfs(sorted(set(tokens)))
+    assert engine.query_posting_mass(tokens) == sum(dfs.values())
