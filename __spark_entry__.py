@@ -438,6 +438,46 @@ def q_bpe_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BP.pair_histogram(_docs(spark, sf_dir), top_k=50)
 
 
+def q_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver check for textstats.pack_token_ids (r8, the materialized
+    packing finale): token ids are SQL-expressible 60-bit md5 folds of
+    the whitespace tokens, packed at budget 64 in doc_id order; each
+    sequence exports an ORDER-SENSITIVE fingerprint —
+    bit_xor(fold15(md5(pos_in_seq:id))) — so within-sequence token
+    order is hash-checked, not just membership.  The oracle rebuilds
+    the concatenated stream with a window cumsum and chunks by integer
+    division (the pack_sequences oracle pattern)."""
+    import pyspark.sql.functions as F
+
+    from lean_explore_spark.operators import textstats as TT
+
+    d = _docs(spark, sf_dir)
+    enc = d.select(
+        "doc_id",
+        F.size(F.expr(TT.SQL_TOKENS)).cast("long").alias("n_tokens"),
+        F.expr(
+            f"transform({TT.SQL_TOKENS}, w -> "
+            "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
+        ).alias("token_ids"),
+    )
+    packed = TT.pack_token_ids(enc, budget=64)
+    ex = packed.select(
+        "seq_id", "n_tokens",
+        F.posexplode("token_ids").alias("pis", "hid"),
+    )
+    return (
+        ex.groupBy("seq_id", "n_tokens")
+        .agg(
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat("
+                "cast(pis as string), ':', cast(hid as string))), 1, 15),"
+                " 16, 10) as bigint))"
+            ).alias("fp")
+        )
+        .select("seq_id", "n_tokens", "fp")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a deterministic PII-bearing fixture.
 
@@ -812,6 +852,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda s, d: T.pack_sequences(
             _docs(s, d), budget=512
         ),
+        # ...and the MATERIALIZED packed sequences (r8): hash-fold ids
+        # packed at budget 64, order-sensitive per-sequence fingerprint
+        "packed_ids": q_packed_ids,
         "token_counts": lambda s, d: T.token_counts(_docs(s, d)),
         "fingerprint": lambda s, d: T.fingerprint(_docs(s, d)),
         # relational operator classes
@@ -1793,6 +1836,53 @@ WHERE m.new_id IS NULL
 # Sliding-window passage chunking (r7): starts at multiples of the
 # stride while < n_tokens; passage = tokens[start : start+size]
 # rejoined; zero-token docs emit nothing.  Defaults size=64 stride=32.
+# Materialized token packing (textstats.pack_token_ids, r8): rebuild
+# the doc_id-ordered concatenated token stream with a window cumsum,
+# chunk by integer division at budget 64, fingerprint each sequence
+# order-sensitively (bit_xor over fold15(md5(pos_in_seq:id))).
+_PACKED_IDS_SQL = r"""
+WITH digits AS (SELECT unnest(generate_series(1, 15)) AS i),
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(generate_series(1, len(toks))) AS p
+  FROM tl
+),
+sized AS (SELECT doc_id, len(toks) AS n FROM tl),
+off AS (
+  SELECT doc_id,
+         sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n AS start
+  FROM sized
+),
+pos AS (
+  SELECT t.w, o.start + t.p - 1 AS gpos
+  FROM tok t JOIN off o USING (doc_id)
+),
+hid AS (
+  SELECT gpos // 64 AS seq_id, gpos % 64 AS pis,
+         CAST(sum((strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS h
+  FROM pos CROSS JOIN digits
+  GROUP BY gpos, w
+),
+fps AS (
+  SELECT seq_id, pis,
+         CAST(sum((strpos('0123456789abcdef',
+               substr(md5(CAST(pis AS VARCHAR) || ':'
+                          || CAST(h AS VARCHAR)), i, 1)) - 1)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT) AS f
+  FROM hid CROSS JOIN digits
+  GROUP BY seq_id, pis, h
+)
+SELECT seq_id, count(*) AS n_tokens, bit_xor(f) AS fp
+FROM fps GROUP BY seq_id
+"""
+
 # BPE trainer first stage (operators/bpe.py pair_histogram): initial
 # char+EOW symbol-pair counts over the word histogram; row 1 under
 # (cnt desc, pair asc) is the trainer's first merge selection.
@@ -2835,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_rank": _SHUFFLE_RANK_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "bpe_histogram": _BPE_HISTOGRAM_SQL,
+        "packed_ids": _PACKED_IDS_SQL,
         "chunk_passages": _CHUNK_PASSAGES_SQL,
         "novel_docs": _NOVEL_DOCS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

@@ -67,6 +67,7 @@ def test_query_matches_oracle(spark, duck, name):
 # rotation puts never-green keys first, so they get a row immediately).
 NEW_SINCE_LAST_ROUND: set[str] = {
     "bpe_histogram",  # r8
+    "packed_ids",     # r8
 }
 
 # Documented rows-only contract entries: genuinely non-SQL-expressible
