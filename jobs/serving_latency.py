@@ -152,26 +152,37 @@ def main() -> None:
         "repeats": args.repeats,
         "modes": {},
     }
+    # ONE preloaded engine shared by every preload-flavored mode: the
+    # 6.4M preload (postings collect into driver dicts) costs minutes,
+    # and modes differ only in which search method they call (r8 — the
+    # first 4-mode 6.4M run paid the preload three times)
+    _shared_pre: list = []
+
+    def preloaded_engine():
+        if not _shared_pre:
+            _shared_pre.append(SearchEngine(spark, str(idx), preload=True))
+        return _shared_pre[0]
+
     for mode in args.modes.split(","):
         if mode == "preloaded":
-            eng = SearchEngine(spark, str(idx), preload=True)
+            eng = preloaded_engine()
             fn = lambda q, k: eng.search(q, k)  # noqa: E731
         elif mode == "cold":
             eng = SearchEngine(spark, str(idx), preload=False)
             fn = lambda q, k: eng.search(q, k)  # noqa: E731
         elif mode == "distributed":
-            eng = SearchEngine(spark, str(idx), preload=True)
+            eng = preloaded_engine()
             fn = lambda q, k: eng.search_distributed(q, k)  # noqa: E731
         elif mode == "auto":
             # r8 (VERDICT r7 #5): posting-mass routing — light queries
             # keep the sequential preloaded kernel, hot ones fan their
             # shards across threads (search_tokens_routed); targets
             # the 6.4M p95 tail without touching the 25 ms median
-            eng = SearchEngine(spark, str(idx), preload=True)
+            eng = preloaded_engine()
             fn = lambda q, k: eng.search_routed(q, k)  # noqa: E731
         elif mode == "parallel":
             # the hot-path kernel unconditionally (threshold ablation)
-            eng = SearchEngine(spark, str(idx), preload=True)
+            eng = preloaded_engine()
             fn = lambda q, k: eng.search_tokens_parallel(  # noqa: E731
                 eng.analyze_query(q), k
             )
@@ -380,7 +391,7 @@ def main() -> None:
         elif mode == "distributed_batch":
             # whole sweep in ONE Spark job (r5); per-query latency is
             # not meaningful here — report wall + QPS only
-            eng = SearchEngine(spark, str(idx), preload=True)
+            eng = preloaded_engine()
             toks = [eng.analyze_query(q) for q in queries]
             eng.search_tokens_distributed_batch(toks[:5], args.k)  # warm
             best = float("inf")
