@@ -59,6 +59,28 @@ def _row_to_packed(row) -> codec.PackedPostings:
     )
 
 
+# Engine reference inherited by forked hot-query workers (set by
+# SearchEngine._ensure_fork_pool immediately before the fork; children
+# read the preloaded postings/doc-length dicts through it COW).
+_FORK_ENGINE = None
+
+
+def _fork_score_shard(shard, uterms, uindex, ctx, k, theta0):
+    """Runs inside a forked worker: score one shard into a local
+    k-heap using the parent's preloaded caches (no deserialization —
+    the fork shares them copy-on-write)."""
+    eng = _FORK_ENGINE
+    rows = [
+        (t, r)
+        for t in uterms
+        for r in eng._postings_cache.get(t, [])
+        if int(r["shard"]) == shard
+    ]
+    heap: list = []
+    eng._score_one_shard(shard, rows, uindex, ctx, k, heap, theta0)
+    return heap
+
+
 class SearchEngine:
     # cold-mode (preload=False) bound on cached doc-length slices: a
     # long-running cold service that eventually touches every shard
@@ -295,24 +317,76 @@ class SearchEngine:
     # Set from the measured 6.4M crossover (BENCH.md §13b).
     HOT_MASS_THRESHOLD = 100_000
 
+    # persistent forked worker pool for the hot-query path (lazy)
+    _fork_pool = None
+    _fork_pool_size = 0
+
+    def _ensure_fork_pool(self, n: int):
+        """Persistent process pool FORKED after preload: children share
+        the preloaded postings/doc-length dicts copy-on-write — no GIL,
+        no per-query serialization of index data (only the tiny query
+        ctx ships per task, and k results ship back).  Threads measured
+        10× SLOWER than sequential here (the per-shard numpy calls are
+        too short to amortize GIL handoff at 400k–6.4M shard sizes);
+        fork is the standard CPython answer.  Children never touch the
+        inherited py4j socket.  Pool is per-engine and lazy; preload is
+        required (post-fork loads would not be visible to children)."""
+        from concurrent.futures import ProcessPoolExecutor
+        import multiprocessing as mp
+
+        if self._fork_pool is not None and self._fork_pool_size >= n:
+            return self._fork_pool
+        if not self._preloaded:
+            raise RuntimeError(
+                "search_tokens_parallel needs preload=True (the fork "
+                "pool snapshots the preloaded index at creation)"
+            )
+        if self._fork_pool is not None:
+            self._fork_pool.shutdown(wait=False)
+        global _FORK_ENGINE
+        _FORK_ENGINE = self
+        self._fork_pool = ProcessPoolExecutor(
+            max_workers=n, mp_context=mp.get_context("fork")
+        )
+        self._fork_pool_size = n
+        return self._fork_pool
+
+    def close_pool(self) -> None:
+        if self._fork_pool is not None:
+            self._fork_pool.shutdown(wait=False)
+            self._fork_pool = None
+            self._fork_pool_size = 0
+
     def search_tokens_parallel(
-        self, tokens: Sequence[str], k: int = 50, threads: int | None = None
+        self,
+        tokens: Sequence[str],
+        k: int = 50,
+        threads: int | None = None,
+        _inline: bool = False,
     ) -> List[Tuple[int, float]]:
-        """Hot-query driver path (r8): the same per-shard block-max
-        kernel fanned across a THREAD pool.  Each shard scores into its
-        own local k-heap (exactly the distributed path's per-task
-        shape) and the driver merges by (score desc, doc_id asc) — the
-        per-shard-superset argument from search_tokens_distributed
-        applies unchanged, so results are bit-identical to
-        search_tokens (asserted in tests/test_distributed_search.py).
-        The kernels are numpy-vectorized end to end (unpack,
-        searchsorted, X-matrix fill), so they release the GIL and hot
-        postings really decode in parallel; doc-length slices are
-        prefetched serially because the LRU cache is not thread-safe
-        (preload mode: a dict hit; cold mode: the same reads
-        search_tokens would do)."""
+        """Hot-query driver path (r8, VERDICT r7 #5): the same
+        per-shard block-max kernel fanned across a FORKED process pool
+        with θ0 seeding.
+
+        Two measured problems with naive per-shard fan-out, both fixed
+        here (400k numbers in BENCH.md §13b): (1) independent local
+        heaps lose the sequential θ cascade, so no block ever prunes —
+        the DENSEST shard is scored inline first and its k-th score
+        (a lower bound on the global k-th: a subset's k-th best ≤ the
+        global's) seeds every other shard's pruning via the kernel's
+        ``theta0``; (2) Python threads were 10× slower than sequential
+        (shard-sized numpy calls are too short to amortize GIL
+        handoff), so the fan-out uses processes forked AFTER preload —
+        children read the postings dicts copy-on-write, only the query
+        ctx and k-row results cross the boundary.
+
+        Results are bit-identical to search_tokens: per-shard local
+        top-k is a superset of the shard's global-top-k contribution
+        (θ0 pruning only removes docs provably below the global θ),
+        and the merge re-sorts by (score desc, doc_id asc) — asserted
+        in tests/test_distributed_search.py.  ``_inline=True`` runs
+        the same θ0-seeded plan serially in-process (test/debug)."""
         import os
-        from concurrent.futures import ThreadPoolExecutor
 
         k = min(k, self.n_docs)
         if k <= 0:
@@ -321,36 +395,61 @@ class SearchEngine:
         heap: List[Tuple[float, int, int]] = []
         if uterms:
             by_shard = self._fetch_postings(uterms)
-            dls = {s: self._doc_lens(s) for s in by_shard}
-
-            def run_shard(shard: int) -> list:
-                dl_ids, dl_lens = dls[shard]
-                cursors = [
-                    wand.TermCursor(_row_to_packed(r), uindex[t], dl_ids)
-                    for t, r in by_shard[shard]
-                ]
-                local: list = []
-                total = sum(c.packed.count for c in cursors)
-                if total <= self.BULK_THRESHOLD:
-                    wand.bulk_score_shard(
-                        cursors, ctx, dl_ids, dl_lens, local, k
-                    )
+            for s in by_shard:
+                self._doc_lens(s)  # prefetch (preload: dict hit)
+            sizes = {
+                s: sum(_row_to_packed(r).count for _, r in rows)
+                for s, rows in by_shard.items()
+            }
+            seed = max(sizes, key=lambda s: (sizes[s], -s))
+            seed_heap: list = []
+            self._score_one_shard(
+                seed, by_shard[seed], uindex, ctx, k, seed_heap, None
+            )
+            theta0 = seed_heap[0][0] if len(seed_heap) >= k else None
+            rest = sorted(s for s in by_shard if s != seed)
+            locals_: List[list] = [seed_heap]
+            if rest:
+                n = min(
+                    threads or (os.cpu_count() or 8), len(rest)
+                )
+                if _inline or n <= 1:
+                    for s in rest:
+                        loc: list = []
+                        self._score_one_shard(
+                            s, by_shard[s], uindex, ctx, k, loc, theta0
+                        )
+                        locals_.append(loc)
                 else:
-                    wand.blockmax_bulk_shard(
-                        cursors, ctx, dl_ids, dl_lens, local, k
-                    )
-                return local
-
-            n = threads or min(len(by_shard), os.cpu_count() or 8)
-            if n <= 1:
-                locals_ = [run_shard(s) for s in sorted(by_shard)]
-            else:
-                with ThreadPoolExecutor(max_workers=n) as ex:
-                    locals_ = list(ex.map(run_shard, sorted(by_shard)))
+                    pool = self._ensure_fork_pool(n)
+                    futs = [
+                        pool.submit(
+                            _fork_score_shard, s, sorted(set(uterms)),
+                            uindex, ctx, k, theta0,
+                        )
+                        for s in rest
+                    ]
+                    locals_.extend(f.result() for f in futs)
             cand = [(e[0], e[2]) for loc in locals_ for e in loc]
             cand.sort(key=lambda t: (-t[0], t[1]))
             heap = [(s, -d, d) for s, d in cand[:k]]
         return self._finalize(heap, ctx, k)
+
+    def _score_one_shard(
+        self, shard, rows, uindex, ctx, k, heap, theta0
+    ) -> None:
+        dl_ids, dl_lens = self._doc_lens(shard)
+        cursors = [
+            wand.TermCursor(_row_to_packed(r), uindex[t], dl_ids)
+            for t, r in rows
+        ]
+        total = sum(c.packed.count for c in cursors)
+        if total <= self.BULK_THRESHOLD:
+            wand.bulk_score_shard(cursors, ctx, dl_ids, dl_lens, heap, k)
+        else:
+            wand.blockmax_bulk_shard(
+                cursors, ctx, dl_ids, dl_lens, heap, k, theta0=theta0
+            )
 
     def query_posting_mass(self, tokens: Sequence[str]) -> int:
         """Σ df over the query's live terms — the routing signal.  In

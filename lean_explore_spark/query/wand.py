@@ -361,6 +361,7 @@ def blockmax_bulk_shard(
     dl_lens: np.ndarray,
     heap: List[Tuple[float, int, int]],
     k: int,
+    theta0: Optional[float] = None,
 ) -> None:
     """Block-max pruned vectorized scorer: WAND's bound logic applied
     at BLOCK granularity, with surviving blocks scored in bulk (the
@@ -376,11 +377,24 @@ def blockmax_bulk_shard(
     pruned block have complete scores.  Pruning only activates once
     the heap holds k entries with θ > C0 (same gate as wand_shard), so
     the delta-floor fill semantics are untouched.
+
+    ``theta0`` (r8, the fan-out seeding): a caller-supplied LOWER
+    BOUND on the true global k-th score — e.g. the k-th score of one
+    fully-scored shard (a subset's k-th best can only be ≤ the
+    global's).  It lets parallel per-shard scoring prune from the
+    start instead of losing the sequential θ cascade; any doc pruned
+    by theta0 has true score < theta0 ≤ global θ, so it can never be
+    in the global top-k.  Callers must only pass it when ≥ k matched
+    docs exist globally (the seeding shard's heap reached k), which
+    keeps the delta-floor gate intact.
     """
     n_u = len(ctx.idfs)
     c0 = ctx.c0
     theta = heap[0][0] if len(heap) >= k else -np.inf
     prune_on = len(heap) >= k and theta > c0
+    if theta0 is not None and theta0 > theta:
+        theta = theta0
+        prune_on = theta > c0
     tok_counts = np.zeros(n_u, dtype=np.float64)
     for u in ctx.token_uterm:
         tok_counts[u] += 1.0
