@@ -139,3 +139,34 @@ def test_routed_equals_local_both_sides_of_threshold(engine, query):
     # signal sanity: mass equals the dictionary df sum of live terms
     dfs = engine._lookup_dfs(sorted(set(tokens)))
     assert engine.query_posting_mass(tokens) == sum(dfs.values())
+
+
+def test_parallel_requires_preload_and_pool_reuse(spark, engine, tmp_path_factory):
+    """The fork pool snapshots the preloaded index at creation: cold
+    engines must refuse (post-fork loads would be invisible to
+    children), the pool persists across queries, and close_pool
+    releases it."""
+    from lean_explore_spark.index.builder import IndexBuilder
+    from lean_explore_spark.query.search import SearchEngine
+
+    tokens = tokenize_stem("fast table scan merge join")
+    # pool is created lazily on the first multi-worker call and reused
+    a = engine.search_tokens_parallel(tokens, 10, threads=2)
+    pool1 = engine._fork_pool
+    assert pool1 is not None
+    b = engine.search_tokens_parallel(tokens, 10, threads=2)
+    assert engine._fork_pool is pool1 and a == b
+    engine.close_pool()
+    assert engine._fork_pool is None
+
+    out = tmp_path_factory.mktemp("coldpool") / "idx"
+    docs = engine.spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    IndexBuilder(engine.spark, str(out), num_shards=4, num_buckets=4).build(
+        docs, resume=False
+    )
+    cold = SearchEngine(engine.spark, str(out), preload=False)
+    with pytest.raises(RuntimeError, match="preload"):
+        cold.search_tokens_parallel(tokens, 10, threads=2)
+    # the theta0-seeded inline plan works cold (no fork needed)
+    assert cold.search_tokens_parallel(tokens, 10, _inline=True) == \
+        engine.search_tokens(tokens, 10)
