@@ -8,7 +8,7 @@ web framework in this container):
     GET /api/v1/heartbeat
     GET /api/v1/search?q=&pkg=&limit=
     POST /api/v1/search  (batch: {"queries": [...], "limit": N})
-    GET /api/v1/lexical_search?q=&k=&distributed=
+    GET /api/v1/lexical_search?q=&k=&distributed=&routed=
     GET /api/v1/statement_groups/{id}
     GET /api/v1/statement_groups/{id}/dependencies
 
@@ -138,11 +138,15 @@ class SearchAPI:
             "count": len(queries),
         }
 
-    def lexical_search(self, q: str, k: int, distributed: bool) -> dict:
+    def lexical_search(
+        self, q: str, k: int, distributed: bool, routed: bool = False
+    ) -> dict:
         """Pure-BM25 serving mode (r2 VERDICT #3): optionally routed
         through the per-shard distributed WAND tasks."""
         t0 = time.time()
-        hits = self.service.lexical_search(q, k, distributed=distributed)
+        hits = self.service.lexical_search(
+            q, k, distributed=distributed, routed=routed
+        )
         return {
             "query": q,
             "distributed": distributed,
@@ -203,7 +207,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(422, {"detail": "q is required"})
             k = int(qs.get("k", ["50"])[0])
             dist = qs.get("distributed", ["false"])[0].lower() == "true"
-            return self._send(200, self.api.lexical_search(q, k, dist))
+            routed = qs.get("routed", ["false"])[0].lower() == "true"
+            return self._send(
+                200, self.api.lexical_search(q, k, dist, routed)
+            )
         parts = path.strip("/").split("/")
         # api/v1/statement_groups/{id}[/dependencies]
         if len(parts) >= 4 and parts[2] == "statement_groups":

@@ -479,7 +479,9 @@ class SearchEngine:
             if mass_threshold is None
             else int(mass_threshold)
         )
-        if self.query_posting_mass(tokens) > thr:
+        # cold engines can't fork-share the index (nothing preloaded
+        # to share) — the sequential kernel is the right cold path
+        if self._preloaded and self.query_posting_mass(tokens) > thr:
             return self.search_tokens_parallel(tokens, k, threads=threads)
         return self.search_tokens(tokens, k)
 

@@ -496,15 +496,27 @@ class SearchService:
         return [self.engine.search_tokens(t, k) for t in token_lists]
 
     def lexical_search(
-        self, query: str, k: int = DEFAULT_LIMIT, distributed: bool = False
+        self,
+        query: str,
+        k: int = DEFAULT_LIMIT,
+        distributed: bool = False,
+        routed: bool = False,
     ) -> List[tuple]:
         """Pure BM25 top-k through the packed index (r2 VERDICT #3:
         the distributed path — one Spark task per doc-shard running
         block-max WAND, k-heap merge on the driver — is now reachable
-        from the serving surface, not only from the engine)."""
+        from the serving surface, not only from the engine).
+
+        ``routed=True`` (r8) serves through the posting-mass router:
+        light queries keep the sequential preloaded kernel, hot ones
+        fan across the θ0-seeded fork pool — the interactive-serving
+        default at large corpora (6.4M: p95 645→93 ms, BENCH §13b);
+        results are bit-identical to both other paths."""
         tokens = self.engine.analyze_query(query)
         if distributed:
             return self.engine.search_tokens_distributed(tokens, k)
+        if routed:
+            return self.engine.search_tokens_routed(tokens, k)
         return self.engine.search_tokens(tokens, k)
 
     def search(

@@ -155,3 +155,8 @@ def test_lexical_search_route(server):
     )
     assert status2 == 200 and body2["distributed"] is True
     assert body["results"] == body2["results"]
+    # routed (posting-mass) serving is reachable and bit-identical
+    status3, body3 = _get(
+        f"{server.url}/lexical_search?q=fast+table+scan&k=10&routed=true"
+    )
+    assert status3 == 200 and body3["results"] == body["results"]

@@ -151,7 +151,8 @@ def test_lexical_search_distributed_parity(service):
     for q in ("fast table scan merge join", "customer orders data"):
         local = service.lexical_search(q, k=25)
         dist = service.lexical_search(q, k=25, distributed=True)
-        assert local == dist
+        routed = service.lexical_search(q, k=25, routed=True)
+        assert local == dist == routed
         assert len(local) == 25
 
 
