@@ -696,6 +696,43 @@ class SearchEngine:
         heaps: List[list] = [[] for _ in token_lists]
         all_terms = sorted({t for _, ui in qplans for t in ui})
         kk = max(out_k, default=0)
+        # θ0 seeding (r8, same bound as search_tokens_parallel): with a
+        # preloaded driver, score each query's DENSEST shard locally
+        # first — its k-th score lower-bounds the global k-th, so every
+        # executor task can prune from the start instead of decoding
+        # all postings into an empty heap.  ~1/n_shards of a driver
+        # sweep's work buys block pruning across the whole cluster; at
+        # 100 TB that is the difference between executor CPU scaling
+        # with postings touched vs postings COMPETITIVE.  Sound per the
+        # blockmax_bulk_shard theta0 contract; executors still score
+        # the seed shard (no special-casing), the driver heap is
+        # discarded.  Cold engines skip seeding (theta0 stays None).
+        theta0s: List[Optional[float]] = [None] * len(token_lists)
+        if (
+            self._postings_cache is not None
+            and kk > 0
+            and mode in ("blockmax", "auto")
+        ):
+            for qi, (ctx, uindex) in enumerate(qplans):
+                kq = out_k[qi]
+                if not uindex or kq <= 0:
+                    continue
+                mass: Dict[int, int] = {}
+                rows_by_shard: Dict[int, list] = {}
+                for t in uindex:
+                    for r in self._postings_cache.get(t, []):
+                        s = int(r["shard"])
+                        mass[s] = mass.get(s, 0) + int(r["df_shard"])
+                        rows_by_shard.setdefault(s, []).append((t, r))
+                if not mass:
+                    continue
+                seed = max(mass, key=lambda s: (mass[s], -s))
+                heap0: list = []
+                self._score_one_shard(
+                    seed, rows_by_shard[seed], uindex, ctx, kq, heap0, None
+                )
+                if len(heap0) >= kq:
+                    theta0s[qi] = heap0[0][0]
         if all_terms and kk > 0:
             ensure_py_files(self.spark)
             buckets = sorted(
@@ -711,6 +748,7 @@ class SearchEngine:
             qplans_b = qplans
             mode_b = mode
             bulk_thr = self.BULK_THRESHOLD
+            theta0s_b = theta0s
 
             def score_shard(key, pdf):
                 import pandas as pd
@@ -756,7 +794,8 @@ class SearchEngine:
                         )
                     else:
                         W.blockmax_bulk_shard(
-                            cursors, ctx, dl_ids, dl_lens, local_heap, kk
+                            cursors, ctx, dl_ids, dl_lens, local_heap, kk,
+                            theta0=theta0s_b[qi],
                         )
                     qids.extend([qi] * len(local_heap))
                     docs.extend(e[2] for e in local_heap)
