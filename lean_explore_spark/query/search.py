@@ -435,6 +435,31 @@ class SearchEngine:
             heap = [(s, -d, d) for s, d in cand[:k]]
         return self._finalize(heap, ctx, k)
 
+    def _theta0_for(self, ctx, uindex, k: int) -> Optional[float]:
+        """Per-query pruning floor for fan-out paths (r8): score the
+        DENSEST shard from the preloaded postings and return its k-th
+        score — a lower bound on the global k-th (a subset's k-th best
+        ≤ the global's) — or None when that shard matched < k docs
+        (then no fan-out task may prune, preserving delta-floor
+        semantics).  Preload-only by construction."""
+        if not uindex or k <= 0 or self._postings_cache is None:
+            return None
+        mass: Dict[int, int] = {}
+        rows_by_shard: Dict[int, list] = {}
+        for t in uindex:
+            for r in self._postings_cache.get(t, []):
+                s = int(r["shard"])
+                mass[s] = mass.get(s, 0) + int(r["df_shard"])
+                rows_by_shard.setdefault(s, []).append((t, r))
+        if not mass:
+            return None
+        seed = max(mass, key=lambda s: (mass[s], -s))
+        heap0: list = []
+        self._score_one_shard(
+            seed, rows_by_shard[seed], uindex, ctx, k, heap0, None
+        )
+        return heap0[0][0] if len(heap0) >= k else None
+
     def _score_one_shard(
         self, shard, rows, uindex, ctx, k, heap, theta0
     ) -> None:
@@ -575,6 +600,10 @@ class SearchEngine:
             uindex_b = dict(uindex)
             ctx_b = ctx
             kk = k
+            # preloaded driver → ship a per-query pruning floor (r8;
+            # None on cold engines — tasks then prune via their own
+            # heaps only, the pre-r8 behavior)
+            theta0_b = self._theta0_for(ctx, uindex, k)
 
             def score_shard(key, pdf):
                 import pandas as pd
@@ -597,7 +626,8 @@ class SearchEngine:
                     for _, r in pdf.iterrows()
                 ]
                 W.blockmax_bulk_shard(
-                    cursors, ctx_b, dl_ids, dl_lens, local_heap, kk
+                    cursors, ctx_b, dl_ids, dl_lens, local_heap, kk,
+                    theta0=theta0_b,
                 )
                 return pd.DataFrame(
                     {
@@ -713,26 +743,10 @@ class SearchEngine:
             and kk > 0
             and mode in ("blockmax", "auto")
         ):
-            for qi, (ctx, uindex) in enumerate(qplans):
-                kq = out_k[qi]
-                if not uindex or kq <= 0:
-                    continue
-                mass: Dict[int, int] = {}
-                rows_by_shard: Dict[int, list] = {}
-                for t in uindex:
-                    for r in self._postings_cache.get(t, []):
-                        s = int(r["shard"])
-                        mass[s] = mass.get(s, 0) + int(r["df_shard"])
-                        rows_by_shard.setdefault(s, []).append((t, r))
-                if not mass:
-                    continue
-                seed = max(mass, key=lambda s: (mass[s], -s))
-                heap0: list = []
-                self._score_one_shard(
-                    seed, rows_by_shard[seed], uindex, ctx, kq, heap0, None
-                )
-                if len(heap0) >= kq:
-                    theta0s[qi] = heap0[0][0]
+            theta0s = [
+                self._theta0_for(ctx, uindex, out_k[qi])
+                for qi, (ctx, uindex) in enumerate(qplans)
+            ]
         if all_terms and kk > 0:
             ensure_py_files(self.spark)
             buckets = sorted(
