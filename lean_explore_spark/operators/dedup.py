@@ -1174,11 +1174,85 @@ def write_near_dup_artifact(
     return meta
 
 
+def append_near_dup_delta(
+    docs: DataFrame, artifact_path: str, epoch: int
+) -> None:
+    """Extend a stored near-dup artifact with an accepted batch's
+    band keys + shingle ints, as an EPOCH DELTA — the streaming-ingest
+    hook (r8): once a micro-batch passes the gate, later batches must
+    dedup against it too, without rebuilding the base artifact.
+
+    Idempotent under exactly-once foreachBatch replay: the delta lives
+    at ``delta/epoch=<n>/`` and a re-run of the same epoch overwrites
+    it; readers see a delta only after its ``_DELTA_DONE`` marker
+    lands (written last, atomic os.replace — the repo's app-marker
+    visibility rule), so a crash mid-write leaves an invisible dir
+    that the replay overwrites.  Parameters come from the artifact
+    meta, so delta keys can never disagree with the base."""
+    import json as _json
+    import os
+    from pathlib import Path
+
+    root = Path(artifact_path)
+    meta = _json.loads((root / NEAR_DUP_META).read_text())
+    n, num_hashes, band_rows = (
+        meta["n"], meta["num_hashes"], meta["band_rows"]
+    )
+    d = root / "delta" / f"epoch={int(epoch)}"
+    marker = d / "_DELTA_DONE"
+    if marker.exists():
+        marker.unlink()  # replay: hide while rewriting
+    sh = shingles(docs, n)
+    _band_keys(docs, n, num_hashes, band_rows, shingles_df=sh).write.mode(
+        "overwrite"
+    ).parquet(str(d / "band_keys"))
+    sh.select("doc_id", _shingle_int().alias("x")).distinct().write.mode(
+        "overwrite"
+    ).parquet(str(d / "shingle_ints"))
+    tmp = d / "_DELTA_DONE.tmp"
+    tmp.write_text("")
+    os.replace(tmp, marker)
+
+
+def _stored_gate_tables(spark, artifact_path: str, exclude_epochs=()):
+    """(meta, band_keys_df, shingle_ints_df) over the base artifact
+    plus every COMMITTED delta (``_DELTA_DONE`` present), excluding
+    ``exclude_epochs`` — the replay guard: a batch re-gating itself
+    after a crash-between-delta-and-registration must not see its own
+    delta, or every doc would match itself and the whole batch would
+    be dropped."""
+    import json as _json
+    from pathlib import Path
+
+    root = Path(artifact_path)
+    meta = _json.loads((root / NEAR_DUP_META).read_text())
+    excl = {int(e) for e in exclude_epochs}
+    keys = spark.read.parquet(str(root / "band_keys"))
+    ints = spark.read.parquet(str(root / "shingle_ints"))
+    delta_root = root / "delta"
+    if delta_root.exists():
+        for d in sorted(delta_root.iterdir()):
+            if not d.name.startswith("epoch="):
+                continue
+            if int(d.name.split("=", 1)[1]) in excl:
+                continue
+            if not (d / "_DELTA_DONE").exists():
+                continue
+            keys = keys.unionByName(
+                spark.read.parquet(str(d / "band_keys"))
+            )
+            ints = ints.unionByName(
+                spark.read.parquet(str(d / "shingle_ints"))
+            )
+    return meta, keys, ints
+
+
 def novel_docs_stored(
     new_docs: DataFrame,
     artifact_path: str,
     threshold: float = 0.5,
     refine: bool = True,
+    exclude_epochs=(),
 ) -> DataFrame:
     """:func:`novel_docs` against a STORED corpus artifact — the
     refresh-time entry point.  Returns the new docs with no stored
@@ -1192,18 +1266,18 @@ def novel_docs_stored(
     naturally small set: old docs that near-collide with this batch),
     which AQE turns into a broadcast filter ahead of the scan's
     shuffle.  The old corpus text is never read.
-    """
-    import json as _json
-    from pathlib import Path
 
+    The stored side is the base artifact plus every COMMITTED
+    streaming delta (:func:`append_near_dup_delta`); ``exclude_epochs``
+    is the foreachBatch replay guard (see :func:`_stored_gate_tables`).
+    """
     spark = new_docs.sparkSession
-    root = Path(artifact_path)
-    meta = _json.loads((root / NEAR_DUP_META).read_text())
+    meta, ko, old_x = _stored_gate_tables(
+        spark, artifact_path, exclude_epochs
+    )
     n, num_hashes, band_rows = (
         meta["n"], meta["num_hashes"], meta["band_rows"]
     )
-    ko = spark.read.parquet(str(root / "band_keys"))
-    old_x = spark.read.parquet(str(root / "shingle_ints"))
 
     new_sh = shingles(new_docs, n)
     kn = _band_keys(

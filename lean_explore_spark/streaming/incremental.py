@@ -164,6 +164,8 @@ def start_incremental_indexing(
     num_buckets: int = 4,
     trigger_available_now: bool = True,
     curation_filter=None,
+    near_dup_gate: str | None = None,
+    update_gate: bool = True,
 ):
     """Stream parquet page files → per-batch segment indexes.
 
@@ -182,7 +184,22 @@ def start_incremental_indexing(
     CROSS-CORPUS operators (MinHash, exact-substring spans, corpus LM)
     don't fit this slot by design — their statistics span batches; run
     them as the batch pipeline (jobs/pipeline_demo.py) or at
-    compaction time.
+    compaction time.  Exception (r8): the near-dup gate below, whose
+    cross-corpus statistic IS a stored artifact.
+
+    ``near_dup_gate`` (r8, VERDICT r7 #2): path to a stored near-dup
+    artifact (dedup.write_near_dup_artifact — the index builder emits
+    one with ``near_dup_artifact=True``).  Each micro-batch is gated
+    through dedup.novel_docs_stored BEFORE curation/indexing: docs
+    near-duplicating the live corpus never become segment docs, and
+    the corpus side moves only as stored band keys + shingle ints.
+    With ``update_gate=True`` each ACCEPTED batch appends an epoch
+    delta (dedup.append_near_dup_delta), so later batches also dedup
+    against earlier segments — the full incremental-crawl loop.
+    Replay safety: gating excludes the batch's own epoch delta (a
+    crash between delta write and segment registration re-runs the
+    epoch; without the exclusion every doc would match itself), and
+    the delta write itself is per-epoch overwrite + marker-last.
     """
     root = Path(index_root)
     (root / "segments").mkdir(parents=True, exist_ok=True)
@@ -195,6 +212,21 @@ def start_incremental_indexing(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if near_dup_gate is not None:
+            from lean_explore_spark.operators import dedup as _dedup
+
+            batch_df = _dedup.novel_docs_stored(
+                batch_df, near_dup_gate, exclude_epochs=(epoch_id,)
+            )
+            if update_gate:
+                # the batch is consumed twice (delta write + segment
+                # build) and the gate's anti-join is not free — pin it
+                batch_df = batch_df.localCheckpoint(eager=True)
+                if batch_df.isEmpty():
+                    return
+                _dedup.append_near_dup_delta(
+                    batch_df, near_dup_gate, epoch_id
+                )
         if curation_filter is not None:
             batch_df = curation_filter(batch_df)
         if batch_df.isEmpty():

@@ -121,3 +121,92 @@ def test_builder_emits_artifact_and_gate_runs(spark, corpus, tmp_path):
         r["doc_id"] for r in D.novel_docs(new, old).collect()
     )
     assert got == want
+
+
+def test_streaming_ingest_gated_by_stored_artifact(spark, tmp_path):
+    """r8 streaming hook: micro-batches gate through the STORED
+    artifact before indexing; accepted batches append epoch deltas so
+    later batches dedup against earlier segments too; the replay
+    guard keeps a re-run epoch from matching itself."""
+    from lean_explore_spark.streaming import incremental as I
+
+    def doc(i, text):
+        return (i, text)
+
+    base_rows = [
+        doc(1, BASE_A), doc(2, BASE_B),
+        doc(3, "some entirely separate base document about storage "
+               "engines compaction levels and bloom filters today"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    gate = str(tmp_path / "near_dup")
+    D.write_near_dup_artifact(base, gate)
+
+    fresh_a = ("fresh crawl text on gardening tomatoes rainfall "
+               "irrigation schedules and mulching for sandy soils")
+    fresh_c = ("another later snapshot document about sailing knots "
+               "rigging tension and tide tables for narrow harbors")
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    idx_root = str(tmp_path / "idx")
+
+    # ---- crawl snapshot 1: a base dup + one fresh doc
+    spark.createDataFrame(
+        [doc(100, BASE_A), doc(101, fresh_a)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(pages))
+    q = I.start_incremental_indexing(
+        spark, str(pages), idx_root,
+        num_shards=2, num_buckets=4, near_dup_gate=gate,
+    )
+    q.awaitTermination(300)
+    segs = I.live_segments(idx_root)
+    assert len(segs) == 1
+    got1 = sorted(
+        r.doc_id for r in spark.read.parquet(
+            f"{idx_root}/segments/{segs[0]}/forward"
+        ).select("doc_id").collect()
+    )
+    assert got1 == [101]  # base dup dropped, fresh kept
+    import json as _json
+    from pathlib import Path
+    deltas = sorted((Path(gate) / "delta").glob("epoch=*"))
+    assert len(deltas) == 1 and (deltas[0] / "_DELTA_DONE").exists()
+
+    # ---- crawl snapshot 2: base dup, dup of snapshot-1's fresh doc
+    # (dropped ONLY because the epoch delta extended the gate), fresh
+    spark.createDataFrame(
+        [doc(200, BASE_B), doc(201, fresh_a), doc(202, fresh_c)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(pages))
+    q = I.start_incremental_indexing(
+        spark, str(pages), idx_root,
+        num_shards=2, num_buckets=4, near_dup_gate=gate,
+    )
+    q.awaitTermination(300)
+    segs = sorted(I.live_segments(idx_root))
+    assert len(segs) == 2
+    new_seg = [s for s in segs if s != "seg=0"][0] if "seg=0" in segs else segs[-1]
+    got2 = sorted(
+        r.doc_id for r in spark.read.parquet(
+            f"{idx_root}/segments/{new_seg}/forward"
+        ).select("doc_id").collect()
+    )
+    assert got2 == [202]
+
+    # ---- replay guard: re-gating snapshot 2 with its own delta
+    # excluded keeps 202; WITHOUT the exclusion it matches itself
+    batch2 = spark.createDataFrame(
+        [doc(200, BASE_B), doc(201, fresh_a), doc(202, fresh_c)],
+        "doc_id long, text string",
+    )
+    epoch2 = int(new_seg.split("=")[1])
+    kept_guarded = sorted(
+        r.doc_id for r in D.novel_docs_stored(
+            batch2, gate, exclude_epochs=(epoch2,)
+        ).collect()
+    )
+    assert kept_guarded == [202]
+    kept_unguarded = sorted(
+        r.doc_id for r in D.novel_docs_stored(batch2, gate).collect()
+    )
+    assert kept_unguarded == []  # self-match — why the guard exists
