@@ -59,17 +59,25 @@ def _row_to_packed(row) -> codec.PackedPostings:
     )
 
 
-# Engine reference inherited by forked hot-query workers (set by
-# SearchEngine._ensure_fork_pool immediately before the fork; children
-# read the preloaded postings/doc-length dicts through it COW).
-_FORK_ENGINE = None
+# Engine registry inherited by forked hot-query workers, KEYED per
+# engine and never overwritten (registered in _ensure_fork_pool before
+# the pool forks; children read the preloaded postings/doc-length
+# dicts through it COW).  A single mutable global would be wrong with
+# several live engines: ProcessPoolExecutor spawns workers LAZILY on
+# submit, so a worker forked after another engine's registration would
+# silently score against the wrong index.  Keyed entries are present
+# in every fork taken after their registration, so lookups stay
+# correct no matter when a worker spawns; close_pool() removes the
+# entry (it also keeps a strong ref, pinning the engine while its
+# pool lives — intended).
+_FORK_ENGINES: dict = {}
 
 
-def _fork_score_shard(shard, uterms, uindex, ctx, k, theta0):
+def _fork_score_shard(engine_key, shard, uterms, uindex, ctx, k, theta0):
     """Runs inside a forked worker: score one shard into a local
     k-heap using the parent's preloaded caches (no deserialization —
     the fork shares them copy-on-write)."""
-    eng = _FORK_ENGINE
+    eng = _FORK_ENGINES[engine_key]
     rows = [
         (t, r)
         for t in uterms
@@ -343,8 +351,7 @@ class SearchEngine:
             )
         if self._fork_pool is not None:
             self._fork_pool.shutdown(wait=False)
-        global _FORK_ENGINE
-        _FORK_ENGINE = self
+        _FORK_ENGINES[id(self)] = self
         self._fork_pool = ProcessPoolExecutor(
             max_workers=n, mp_context=mp.get_context("fork")
         )
@@ -356,6 +363,7 @@ class SearchEngine:
             self._fork_pool.shutdown(wait=False)
             self._fork_pool = None
             self._fork_pool_size = 0
+        _FORK_ENGINES.pop(id(self), None)
 
     def search_tokens_parallel(
         self,
@@ -397,8 +405,10 @@ class SearchEngine:
             by_shard = self._fetch_postings(uterms)
             for s in by_shard:
                 self._doc_lens(s)  # prefetch (preload: dict hit)
+            # df_shard straight off the rows — _row_to_packed would
+            # copy each payload blob just to read its count
             sizes = {
-                s: sum(_row_to_packed(r).count for _, r in rows)
+                s: sum(int(r["df_shard"]) for _, r in rows)
                 for s, rows in by_shard.items()
             }
             seed = max(sizes, key=lambda s: (sizes[s], -s))
@@ -424,8 +434,8 @@ class SearchEngine:
                     pool = self._ensure_fork_pool(n)
                     futs = [
                         pool.submit(
-                            _fork_score_shard, s, sorted(set(uterms)),
-                            uindex, ctx, k, theta0,
+                            _fork_score_shard, id(self), s,
+                            sorted(set(uterms)), uindex, ctx, k, theta0,
                         )
                         for s in rest
                     ]
