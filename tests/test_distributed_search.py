@@ -170,3 +170,44 @@ def test_parallel_requires_preload_and_pool_reuse(spark, engine, tmp_path_factor
     # the theta0-seeded inline plan works cold (no fork needed)
     assert cold.search_tokens_parallel(tokens, 10, _inline=True) == \
         engine.search_tokens(tokens, 10)
+
+
+def test_fork_pools_of_two_engines_stay_isolated(spark, tmp_path_factory):
+    """Regression (r8): the fork-worker registry is keyed per engine —
+    with a single global, a worker forked AFTER a second engine's
+    registration (ProcessPoolExecutor spawns lazily) would score
+    against the wrong index.  Two engines over DISJOINT corpora must
+    keep returning their own results while their pools interleave and
+    grow."""
+    from lean_explore_spark.index.builder import IndexBuilder
+    from lean_explore_spark.query.search import SearchEngine
+
+    base = tmp_path_factory.mktemp("twopools")
+
+    def build(name, word, id_base):
+        rows = [
+            (id_base + i, f"{word} topic{i % 7} filler{i} " + " ".join(
+                f"w{name}{j}" for j in range(10)))
+            for i in range(1, 301)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = base / name
+        IndexBuilder(spark, str(out), num_shards=4, num_buckets=4).build(
+            docs, resume=False
+        )
+        return SearchEngine(spark, str(out), preload=True)
+
+    ea = build("a", "alpha", 0)
+    eb = build("b", "bravo", 10_000)
+    qa = tokenize_stem("alpha topic1")
+    qb = tokenize_stem("bravo topic1")
+    want_a = ea.search_tokens(qa, 10)
+    want_b = eb.search_tokens(qb, 10)
+    assert want_a != want_b  # disjoint corpora -> different ids
+    # interleave, growing each pool (2 then 3 workers) so lazy spawns
+    # happen after BOTH engines registered
+    for threads in (2, 3):
+        assert ea.search_tokens_parallel(qa, 10, threads=threads) == want_a
+        assert eb.search_tokens_parallel(qb, 10, threads=threads) == want_b
+    ea.close_pool()
+    eb.close_pool()
