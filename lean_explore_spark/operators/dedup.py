@@ -1214,21 +1214,25 @@ def append_near_dup_delta(
     os.replace(tmp, marker)
 
 
-def _stored_gate_tables(spark, artifact_path: str, exclude_epochs=()):
-    """(meta, band_keys_df, shingle_ints_df) over the base artifact
-    plus every COMMITTED delta (``_DELTA_DONE`` present), excluding
-    ``exclude_epochs`` — the replay guard: a batch re-gating itself
-    after a crash-between-delta-and-registration must not see its own
-    delta, or every doc would match itself and the whole batch would
-    be dropped."""
-    import json as _json
-    from pathlib import Path
+def _gate_tables_dir(root, meta):
+    """Current base-table directory: generation 0 lives at the root
+    (write_near_dup_artifact's layout); consolidations write
+    ``gen=<g>/`` directories and flip ``meta["gen"]`` atomically."""
+    g = int(meta.get("gen", 0))
+    return root if g == 0 else root / f"gen={g}"
 
-    root = Path(artifact_path)
-    meta = _json.loads((root / NEAR_DUP_META).read_text())
+
+def _committed_deltas(root, meta, exclude_epochs=()):
+    """Committed delta dirs that still APPLY: marker present, epoch not
+    in ``exclude_epochs`` (replay guard) and not in the meta's
+    ``consumed_epochs`` (explicit list of deltas folded into the
+    current generation — a crash after the meta flip but before the
+    delta sweep leaves consumed dirs on disk, and re-reading them
+    would DOUBLE shingle counts; per the repo's manifest discipline
+    the consumed set is recorded explicitly, never inferred)."""
     excl = {int(e) for e in exclude_epochs}
-    keys = spark.read.parquet(str(root / "band_keys"))
-    ints = spark.read.parquet(str(root / "shingle_ints"))
+    excl |= {int(e) for e in meta.get("consumed_epochs", [])}
+    out = []
     delta_root = root / "delta"
     if delta_root.exists():
         for d in sorted(delta_root.iterdir()):
@@ -1238,13 +1242,107 @@ def _stored_gate_tables(spark, artifact_path: str, exclude_epochs=()):
                 continue
             if not (d / "_DELTA_DONE").exists():
                 continue
-            keys = keys.unionByName(
-                spark.read.parquet(str(d / "band_keys"))
-            )
-            ints = ints.unionByName(
-                spark.read.parquet(str(d / "shingle_ints"))
-            )
+            out.append(d)
+    return out
+
+
+def _stored_gate_tables(spark, artifact_path: str, exclude_epochs=()):
+    """(meta, band_keys_df, shingle_ints_df) over the current base
+    generation plus every committed, still-applicable delta (see
+    :func:`_committed_deltas`); ``exclude_epochs`` is the foreachBatch
+    replay guard: a batch re-gating itself after a crash-between-
+    delta-and-registration must not see its own delta, or every doc
+    would match itself and the whole batch would be dropped."""
+    import json as _json
+    from pathlib import Path
+
+    root = Path(artifact_path)
+    meta = _json.loads((root / NEAR_DUP_META).read_text())
+    tdir = _gate_tables_dir(root, meta)
+    keys = spark.read.parquet(str(tdir / "band_keys"))
+    ints = spark.read.parquet(str(tdir / "shingle_ints"))
+    for d in _committed_deltas(root, meta, exclude_epochs):
+        keys = keys.unionByName(spark.read.parquet(str(d / "band_keys")))
+        ints = ints.unionByName(
+            spark.read.parquet(str(d / "shingle_ints"))
+        )
     return meta, keys, ints
+
+
+def consolidate_near_dup_artifact(spark, artifact_path: str) -> dict:
+    """Fold committed deltas into a NEW base generation — the artifact
+    lifecycle's compaction step (run it whenever the index compacts;
+    without it a long-lived stream accumulates one delta per epoch
+    forever and every gate pays a union over all of them).
+
+    Crash-safe visibility, mirroring the segment-manifest discipline:
+    1. snapshot the committed deltas (concurrent sink appends AFTER
+       the snapshot survive untouched and still apply to the new
+       generation via the delta union);
+    2. write ``gen=<g+1>/`` tables = current tables ∪ snapshot deltas;
+    3. atomically flip the meta to the new generation, recording the
+       snapshot epochs in ``consumed_epochs`` (readers ignore those
+       delta dirs from this instant, whether or not they still exist);
+    4. only then delete the old generation and the consumed delta
+       dirs — a crash between 3 and 4 leaks directories, never
+       correctness, and the next consolidation's sweep retries them
+       (consumed_epochs entries are dropped once their dir is
+       verifiably gone).
+    """
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    root = Path(artifact_path)
+    meta = _json.loads((root / NEAR_DUP_META).read_text())
+    old_gen = int(meta.get("gen", 0))
+    old_dir = _gate_tables_dir(root, meta)
+    deltas = _committed_deltas(root, meta)
+    prior_consumed = {int(e) for e in meta.get("consumed_epochs", [])}
+    if not deltas and not prior_consumed:
+        return {"gen": old_gen, "consolidated": 0}
+
+    keys = spark.read.parquet(str(old_dir / "band_keys"))
+    ints = spark.read.parquet(str(old_dir / "shingle_ints"))
+    for d in deltas:
+        keys = keys.unionByName(spark.read.parquet(str(d / "band_keys")))
+        ints = ints.unionByName(
+            spark.read.parquet(str(d / "shingle_ints"))
+        )
+    new_gen = old_gen + 1
+    new_dir = root / f"gen={new_gen}"
+    keys.write.mode("overwrite").parquet(str(new_dir / "band_keys"))
+    ints.write.mode("overwrite").parquet(str(new_dir / "shingle_ints"))
+
+    consumed_now = {
+        int(d.name.split("=", 1)[1]) for d in deltas
+    }
+    new_meta = dict(meta)
+    new_meta["gen"] = new_gen
+    new_meta["consumed_epochs"] = sorted(prior_consumed | consumed_now)
+    tmp = root / (NEAR_DUP_META + ".tmp")
+    tmp.write_text(_json.dumps(new_meta, indent=1))
+    os.replace(tmp, root / NEAR_DUP_META)
+
+    # sweep AFTER the flip; failures leak dirs readers already ignore
+    if old_gen > 0:
+        shutil.rmtree(old_dir, ignore_errors=True)
+    else:
+        shutil.rmtree(old_dir / "band_keys", ignore_errors=True)
+        shutil.rmtree(old_dir / "shingle_ints", ignore_errors=True)
+    still_consumed = []
+    for e in new_meta["consumed_epochs"]:
+        d = root / "delta" / f"epoch={e}"
+        shutil.rmtree(d, ignore_errors=True)
+        if d.exists():
+            still_consumed.append(e)  # retry next consolidation
+    if still_consumed != new_meta["consumed_epochs"]:
+        new_meta["consumed_epochs"] = still_consumed
+        tmp = root / (NEAR_DUP_META + ".tmp")
+        tmp.write_text(_json.dumps(new_meta, indent=1))
+        os.replace(tmp, root / NEAR_DUP_META)
+    return {"gen": new_gen, "consolidated": len(consumed_now)}
 
 
 def novel_docs_stored(

@@ -210,3 +210,80 @@ def test_streaming_ingest_gated_by_stored_artifact(spark, tmp_path):
         r.doc_id for r in D.novel_docs_stored(batch2, gate).collect()
     )
     assert kept_unguarded == []  # self-match — why the guard exists
+
+
+def test_consolidate_folds_deltas_into_new_generation(spark, tmp_path):
+    """Artifact lifecycle (r8): consolidation folds committed deltas
+    into a new base generation — gate results unchanged, delta dirs
+    swept, consumed epochs recorded explicitly so a resurrected
+    (replayed) consumed delta dir is ignored rather than double-
+    counting shingles."""
+    import json as _json
+    from pathlib import Path
+
+    base = spark.createDataFrame(
+        [(1, BASE_A), (2, BASE_B)], "doc_id long, text string"
+    )
+    gate = str(tmp_path / "gate")
+    D.write_near_dup_artifact(base, gate)
+
+    batch1 = spark.createDataFrame(
+        [(10, "fresh text about gardening tomatoes rainfall and soil")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(20, "different fresh text about sailing knots and rigging")],
+        "doc_id long, text string",
+    )
+    D.append_near_dup_delta(batch1, gate, 0)
+    D.append_near_dup_delta(batch2, gate, 1)
+
+    probe = spark.createDataFrame(
+        [(100, BASE_A),                     # dup of base
+         (101, batch1.collect()[0].text),   # dup of delta 0
+         (102, batch2.collect()[0].text),   # dup of delta 1
+         (103, "totally novel content nobody has ever written before")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        r.doc_id for r in D.novel_docs_stored(probe, gate).collect()
+    )
+    assert before == [103]
+
+    out = D.consolidate_near_dup_artifact(spark, gate)
+    assert out == {"gen": 1, "consolidated": 2}
+    meta = _json.loads((Path(gate) / D.NEAR_DUP_META).read_text())
+    assert meta["gen"] == 1 and meta["consumed_epochs"] == []
+    assert not list((Path(gate) / "delta").glob("epoch=*"))
+    assert not (Path(gate) / "band_keys").exists()  # old gen swept
+    after = sorted(
+        r.doc_id for r in D.novel_docs_stored(probe, gate).collect()
+    )
+    assert after == before
+
+    # a post-consolidation delta still applies...
+    batch3 = spark.createDataFrame(
+        [(30, "totally novel content nobody has ever written before")],
+        "doc_id long, text string",
+    )
+    D.append_near_dup_delta(batch3, gate, 2)
+    assert sorted(
+        r.doc_id for r in D.novel_docs_stored(probe, gate).collect()
+    ) == []  # 103 now matches batch3
+    # ...and a second consolidation advances the generation
+    out2 = D.consolidate_near_dup_artifact(spark, gate)
+    assert out2 == {"gen": 2, "consolidated": 1}
+    assert sorted(
+        r.doc_id for r in D.novel_docs_stored(probe, gate).collect()
+    ) == []
+
+    # crash simulation: a consumed delta resurrected by an epoch
+    # replay must be IGNORED (meta marks it consumed) — shingle
+    # counts would otherwise double and jaccard sizes break
+    meta = _json.loads((Path(gate) / D.NEAR_DUP_META).read_text())
+    meta["consumed_epochs"] = [2]
+    (Path(gate) / D.NEAR_DUP_META).write_text(_json.dumps(meta))
+    D.append_near_dup_delta(batch3, gate, 2)  # replayed dir reappears
+    assert sorted(
+        r.doc_id for r in D.novel_docs_stored(probe, gate).collect()
+    ) == []  # content still applies via gen=2; delta dir ignored
