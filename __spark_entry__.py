@@ -144,6 +144,59 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+_MINHASH_WIDE_CACHE: dict = {}
+
+
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached WIDE MinHash signature (doc_id, m0..m15): five
+    contract queries (signatures, pairs, refined, clusters, canonical)
+    and novel_docs' old-corpus side all derive from the same 16-column
+    relation — materialize once (same reuse pattern as _shingles; r9).
+    Tiny: one row per doc."""
+    key = (id(spark), sf_dir)
+    if key not in _MINHASH_WIDE_CACHE:
+        _MINHASH_WIDE_CACHE[key] = D.minhash_wide(
+            _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+        ).cache()
+    return _MINHASH_WIDE_CACHE[key]
+
+
+_CAND_PAIRS_CACHE: dict = {}
+
+
+def _cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached LSH candidate pairs: minhash_pairs reports them
+    and the refined/clusters/canonical pipeline refines them —
+    materialize the band self-join once (r9).  |candidates| rows."""
+    key = (id(spark), sf_dir)
+    if key not in _CAND_PAIRS_CACHE:
+        _CAND_PAIRS_CACHE[key] = D.minhash_candidate_pairs(
+            _docs(spark, sf_dir),
+            shingles_df=_shingles(spark, sf_dir),
+            wide_df=_minhash_wide(spark, sf_dir),
+        ).cache()
+    return _CAND_PAIRS_CACHE[key]
+
+
+_REFINED_CACHE: dict = {}
+
+
+def _refined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached exact-Jaccard refined pairs: three contract
+    queries consume them (jaccard_refined reports them;
+    dedup_clusters/dedup_canonical run connected components over
+    them) — the near-dup pipeline computes pairs once, so the
+    contract should too (r9)."""
+    key = (id(spark), sf_dir)
+    if key not in _REFINED_CACHE:
+        _REFINED_CACHE[key] = D.jaccard_refined_pairs(
+            _docs(spark, sf_dir),
+            shingles_df=_shingles(spark, sf_dir),
+            cand_df=_cand_pairs(spark, sf_dir),
+        ).cache()
+    return _REFINED_CACHE[key]
+
+
 _SPANS_CACHE: dict = {}
 
 
@@ -409,9 +462,18 @@ def q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return DD.novel_docs(new, old).select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens")
-    )
+    # the old corpus IS the shared docs relation: reuse the cached
+    # shingle + wide-signature relations instead of re-deriving both
+    # LSH stacks from text (r9; the at-scale analog is the stored
+    # artifact path, novel_docs_stored)
+    return DD.novel_docs(
+        new,
+        old,
+        old_shingles=_shingles(spark, sf_dir),
+        old_band_keys=DD._band_keys(
+            old, wide_df=_minhash_wide(spark, sf_dir)
+        ),
+    ).select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
 
 
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,32 +798,24 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": lambda s, d: D.exact_dup_groups(_docs(s, d)),
         "minhash_signatures": lambda s, d: D.minhash_signatures(
-            _docs(s, d), shingles_df=_shingles(s, d)
+            _docs(s, d), wide_df=_minhash_wide(s, d)
         ),
-        "minhash_pairs": lambda s, d: D.minhash_candidate_pairs(
-            _docs(s, d), shingles_df=_shingles(s, d)
-        ),
+        "minhash_pairs": lambda s, d: _cand_pairs(s, d),
         "simhash": lambda s, d: D.simhash(_docs(s, d)),
         "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(
             _docs(s, d), shingles_df=_shingles(s, d)
         ),
-        "jaccard_refined": lambda s, d: D.jaccard_refined_pairs(
-            _docs(s, d), shingles_df=_shingles(s, d)
-        ),
+        "jaccard_refined": lambda s, d: _refined_pairs(s, d),
         # connected components over refined pairs → canonical per
         # component (min-label propagation vs recursive-CTE closure)
         "dedup_clusters": lambda s, d: D.dup_clusters(
-            D.jaccard_refined_pairs(
-                _docs(s, d), shingles_df=_shingles(s, d)
-            ).select("doc_a", "doc_b")
+            _refined_pairs(s, d).select("doc_a", "doc_b")
         ),
         # the corpus AFTER near-dup removal (anti-join of cluster
         # losers) — the pipeline's actual output relation
         "dedup_canonical": lambda s, d: D.canonicalize(
             _docs(s, d),
-            D.jaccard_refined_pairs(
-                _docs(s, d), shingles_df=_shingles(s, d)
-            ).select("doc_a", "doc_b"),
+            _refined_pairs(s, d).select("doc_a", "doc_b"),
         ).select("doc_id", "lang"),
         "simhash_hamming": lambda s, d: D.simhash_hamming_pairs(_docs(s, d)),
         # exact substring dedup (Lee et al. 2022): maximal token spans

@@ -81,9 +81,12 @@ def shingle_array(n: int = 3):
     Memory bound: the per-row array is O(doc tokens) — fine for web
     pages (the input_hint corpus); for unbounded documents pre-truncate
     or fall back to an explode shape."""
-    gram = "concat_ws(' ', " + ", ".join(
-        f"element_at(_toks, j + {i})" for i in range(n)
-    ) + ")"
+    # array_join(slice(...)) = 2 interpreted nodes per gram vs the
+    # n+2 of the old concat_ws(element_at…) chain — HOF lambda bodies
+    # are interpreted per NODE (CLAUDE.md / gopher lesson; r9).  Same
+    # string for non-null tokens, and regexp_extract_all never yields
+    # nulls.
+    gram = f"array_join(slice(_toks, j, {n}), ' ')"
     return F.expr(
         f"CASE WHEN size(_toks) >= {n} THEN array_distinct("
         f"transform(sequence(1, size(_toks) - {n - 1}), j -> {gram}))"
@@ -127,45 +130,61 @@ def _shingle_int_expr(expr: str):
     ).cast("long")
 
 
-def minhash_signatures(
+def minhash_wide(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = NUM_HASHES,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, i, minhash): MinHash signature rows.
+    """(doc_id, m0..m{num_hashes−1}): the whole MinHash signature in
+    ONE partial-aggregated groupBy(doc_id) with ``num_hashes``
+    conditional-free min columns (r9, guide §2.3 "aggregate before
+    you shuffle"): every h_i is a codegen multiply-add-mod on the SAME
+    shingle int, so the ×num_hashes row expansion of the old
+    broadcast-params-join shape (shingles × 16 rows through the
+    exchange) disappears — the shuffle is one combined row per doc per
+    map partition, 16 longs wide.  Same integer math, same mins.
 
     h_i(x) = (a_i·x + b_i) mod (2^31−1) over 60-bit shingle ints;
-    a_i·x < 2^62 so no bigint overflow (ANSI-safe).
-
-    Shape: shingle rows (one narrow in-row explode — see shingles())
-    → md5 int ONCE per shingle (whole-stage codegen) → ×num_hashes via
-    a broadcast params join → partial-aggregated groupBy(doc, i) min.
-    Shuffle volume is docs × num_hashes rows, shingle-count
-    independent.  (An all-in-row array variant — array_min(transform)
-    per hash — measured 30× SLOWER at sf0.1: Catalyst's projection
-    collapse inlines the shingle-int array into every min expression,
-    recomputing md5 ×num_hashes per shingle, and higher-order-function
-    lambdas evaluate interpreted, outside codegen.  Measured, kept the
-    codegen-friendly row shape.)
+    a_i·x < 2^62 so no bigint overflow (ANSI-safe).  (An all-in-row
+    array variant — array_min(transform) per hash — measured 30×
+    SLOWER at sf0.1: projection collapse inlines the shingle-int
+    array into every min expression, recomputing md5 ×num_hashes per
+    shingle, and HOF lambdas evaluate interpreted.  The row shape
+    stays; only the hash expansion moved from rows to columns.)
     """
     sh = (shingles_df if shingles_df is not None else shingles(docs, n)).select(
         "doc_id", (_shingle_int() % MERSENNE31).alias("x")
     )
-    spark = docs.sparkSession
-    params = spark.createDataFrame(
-        HASH_PARAMS[:num_hashes], "i int, a long, b long"
+    mins = [
+        F.min(
+            (F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE31)
+        ).alias(f"m{i}")
+        for i, a, b in HASH_PARAMS[:num_hashes]
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    shingles_df: DataFrame | None = None,
+    wide_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, i, minhash): MinHash signature rows — the narrow
+    unpivot of :func:`minhash_wide` (``wide_df`` reuses a precomputed
+    wide signature; zero extra shuffle either way)."""
+    wide = (
+        wide_df
+        if wide_df is not None
+        else minhash_wide(docs, n, num_hashes, shingles_df=shingles_df)
     )
-    return (
-        sh.crossJoin(F.broadcast(params))
-        .select(
-            "doc_id",
-            "i",
-            ((F.col("a") * F.col("x") + F.col("b")) % MERSENNE31).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("minhash"))
-    )
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_hashes}, {stack_args})").alias("i", "minhash"),
+    ).select("doc_id", "i", "minhash")
 
 
 def _band_keys(
@@ -174,24 +193,37 @@ def _band_keys(
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
     shingles_df: DataFrame | None = None,
+    wide_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key): LSH band keys of the MinHash
-    signature — conditional-aggregated per (doc, band), no
-    order-sensitive collect_list.  Shared by within-corpus pair
-    generation and the cross-corpus ``novel_docs`` path; at scale the
-    existing corpus's output of this function IS the stored artifact
-    an incremental pipeline band-joins against."""
-    sig = minhash_signatures(docs, n, num_hashes, shingles_df=shingles_df)
-    band = sig.withColumn("band", (F.col("i") / F.lit(band_rows)).cast("int"))
-    slot_cols = [
-        F.max(
-            F.when(F.col("i") % band_rows == r, F.col("minhash"))
-        ).alias(f"s{r}")
-        for r in range(band_rows)
-    ]
-    keys = band.groupBy("doc_id", "band").agg(*slot_cols)
-    key = F.concat_ws(",", *[F.col(f"s{r}") for r in range(band_rows)])
-    return keys.select("doc_id", "band", key.alias("band_key"))
+    signature — a narrow in-row stack over :func:`minhash_wide` (r9:
+    the old shape re-aggregated signature ROWS per (doc, band); the
+    wide signature already holds all slots, so band keys need no
+    exchange at all).  Shared by within-corpus pair generation and the
+    cross-corpus ``novel_docs`` path; at scale the existing corpus's
+    output of this function IS the stored artifact an incremental
+    pipeline band-joins against."""
+    wide = (
+        wide_df
+        if wide_df is not None
+        else minhash_wide(docs, n, num_hashes, shingles_df=shingles_df)
+    )
+    n_bands = -(-num_hashes // band_rows)  # ceil: partial last band kept
+    stack_args = ", ".join(
+        "{b}, concat_ws(',', {slots})".format(
+            b=b,
+            slots=", ".join(
+                f"m{b * band_rows + r}"
+                for r in range(band_rows)
+                if b * band_rows + r < num_hashes
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args})").alias("band", "band_key"),
+    ).select("doc_id", "band", "band_key")
 
 
 def minhash_candidate_pairs(
@@ -200,14 +232,16 @@ def minhash_candidate_pairs(
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
     shingles_df: DataFrame | None = None,
+    wide_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature.
 
-    Output (doc_a, doc_b), doc_a < doc_b, distinct.  Band keys are
-    conditional-aggregated per (doc, band) so no order-sensitive
-    collect_list is needed.
+    Output (doc_a, doc_b), doc_a < doc_b, distinct.  Band keys stack
+    in-row from the wide signature (``wide_df`` reuses a precomputed /
+    cached one — without it the wide aggregation runs once per join
+    side unless the optimizer reuses the exchange).
     """
-    keyed = _band_keys(docs, n, num_hashes, band_rows, shingles_df)
+    keyed = _band_keys(docs, n, num_hashes, band_rows, shingles_df, wide_df)
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -560,6 +594,8 @@ def jaccard_refined_pairs(
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
     shingles_df: DataFrame | None = None,
+    wide_df: DataFrame | None = None,
+    cand_df: DataFrame | None = None,
 ) -> DataFrame:
     """THE near-dup pipeline at scale: MinHash-LSH band candidates →
     exact n-gram Jaccard computed for the CANDIDATE PAIRS ONLY.
@@ -568,9 +604,17 @@ def jaccard_refined_pairs(
     this composition bounds the refine stage to |candidates| pairs
     (r1 VERDICT called the composition out as the intended 100 TB
     shape).  Output (doc_a, doc_b, jaccard ≥ threshold), 6dp.
+    ``cand_df`` reuses a precomputed candidate-pair relation (the r9
+    entry cache shares one across the refined/clusters/canonical
+    contract queries — same reuse pattern as the shingle relation).
     """
-    cand = minhash_candidate_pairs(
-        docs, n, num_hashes, band_rows, shingles_df=shingles_df
+    cand = (
+        cand_df
+        if cand_df is not None
+        else minhash_candidate_pairs(
+            docs, n, num_hashes, band_rows,
+            shingles_df=shingles_df, wide_df=wide_df,
+        )
     )
     sh = shingles_df if shingles_df is not None else shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -1031,6 +1075,8 @@ def novel_docs(
     refine: bool = True,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    old_shingles: DataFrame | None = None,
+    old_band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-crawl near-dup gate: the NEW docs that have no
     near-duplicate (exact n-gram Jaccard ≥ ``threshold``) in the
@@ -1059,13 +1105,30 @@ def novel_docs(
     read), strictly more conservative (LSH false positives discard
     borderline-novel docs).
     """
-    new_sh = shingles(new_docs, n)
-    old_sh = shingles(old_docs, n)
+    # the new-batch shingle relation feeds THREE subtrees (band keys,
+    # sizes, the refine intersection) and the old side two — persist
+    # both so the explode+md5 pass runs once per side, not once per
+    # consumer (r9; the plan-level exchange reuse cannot fire here
+    # because each consumer's downstream differs).  Lazy persist: the
+    # first subtree evaluated materializes it.  ``old_shingles`` /
+    # ``old_band_keys`` plug in the stored/cached corpus-side
+    # artifacts (the at-scale form — novel_docs_stored — and the
+    # entry-level cache both use this).
+    new_sh = shingles(new_docs, n).persist()
+    old_sh = (
+        old_shingles if old_shingles is not None else shingles(old_docs, n)
+    )
+    if old_shingles is None and refine:
+        old_sh = old_sh.persist()
     kn = _band_keys(
         new_docs, n, num_hashes, band_rows, shingles_df=new_sh
     ).alias("kn")
-    ko = _band_keys(
-        old_docs, n, num_hashes, band_rows, shingles_df=old_sh
+    ko = (
+        old_band_keys
+        if old_band_keys is not None
+        else _band_keys(
+            old_docs, n, num_hashes, band_rows, shingles_df=old_sh
+        )
     ).alias("ko")
     cand = (
         kn.join(
