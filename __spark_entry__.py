@@ -92,14 +92,28 @@ TOPK = 20
 QUERY_VEC_ID = 7
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Conditional scan fan-out (r9; the analyze() pattern): a bench
+    corpus is ONE parquet split, so every narrow CPU-bound map stage
+    (shingle/gram assembly, md5 folds, Arrow kernels) otherwise runs
+    on a single core — measured 25-45 s single-task stages at sf1.0.
+    No-op at scale, where the input already has >= defaultParallelism
+    splits; the exchange moves the corpus bytes once and every
+    downstream map stage parallelizes."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_py_files(spark)  # executors need the package on sys.path
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_py_files(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -195,6 +209,20 @@ def _refined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand_df=_cand_pairs(spark, sf_dir),
         ).cache()
     return _REFINED_CACHE[key]
+
+
+_SIMHASH_CACHE: dict = {}
+
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached SimHash signature: `simhash` reports it and BOTH
+    sides of simhash_hamming's pigeonhole band self-join consume it
+    (the optimizer cannot reuse the aggregate across a
+    BroadcastExchange) — materialize once (r9)."""
+    key = (id(spark), sf_dir)
+    if key not in _SIMHASH_CACHE:
+        _SIMHASH_CACHE[key] = D.simhash(_docs(spark, sf_dir)).cache()
+    return _SIMHASH_CACHE[key]
 
 
 _SPANS_CACHE: dict = {}
@@ -801,7 +829,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), wide_df=_minhash_wide(s, d)
         ),
         "minhash_pairs": lambda s, d: _cand_pairs(s, d),
-        "simhash": lambda s, d: D.simhash(_docs(s, d)),
+        "simhash": lambda s, d: _simhash_sig(s, d),
         "ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(
             _docs(s, d), shingles_df=_shingles(s, d)
         ),
@@ -817,7 +845,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d),
             _refined_pairs(s, d).select("doc_a", "doc_b"),
         ).select("doc_id", "lang"),
-        "simhash_hamming": lambda s, d: D.simhash_hamming_pairs(_docs(s, d)),
+        "simhash_hamming": lambda s, d: D.simhash_hamming_pairs(
+            _docs(s, d), sig_df=_simhash_sig(s, d)
+        ),
         # exact substring dedup (Lee et al. 2022): maximal token spans
         # whose 8-grams repeat corpus-wide (self-repeats count)
         "dup_spans": _dup_spans,

@@ -659,6 +659,7 @@ def simhash_hamming_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     bits: int = SIMHASH_BITS,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ k
     via the pigeonhole band join (HmSearch shape).
@@ -673,7 +674,12 @@ def simhash_hamming_pairs(
         raise ValueError("pigeonhole needs n_bands > max_hamming")
     width = bits // n_bands
     mask = (1 << width) - 1
-    sh = simhash(docs, bits)
+    # BOTH sides of the band self-join consume the signature relation
+    # and the optimizer cannot reuse it (one side sits under a
+    # BroadcastExchange — verified in the r9 before-plan: the whole
+    # token-explode + 48-column aggregate ran twice).  Persist unless
+    # the caller passes a precomputed/cached one.
+    sh = sig_df if sig_df is not None else simhash(docs, bits).persist()
     stack_args = ", ".join(
         f"{b}, shiftright(simhash, {b * width}) & {mask}"
         for b in range(n_bands)

@@ -48,6 +48,34 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    base = (1.0 - alpha) / n
+    spark = edges.sparkSession
+
+    # FULL-driver regime (r9): when the DISTINCT edge list itself fits
+    # the driver (≤ ~30M rows ≈ hundreds of MB via Arrow), collect
+    # (src, dst, w) ONCE and run every iteration as a numpy
+    # gather+bincount — the per-iteration regime below still pays one
+    # broadcast build + one shuffled aggregation + one toPandas PER
+    # ITERATION (12 Spark jobs for the contract query; measured ~26 s
+    # at sf1.0 where the whole edge transfer is ~2 s).  Spark still
+    # does the O(edges) distinct/degree work; only the iteration loop
+    # moves.  Same float64 formula; groupBy(dst).sum and bincount
+    # differ only in summation order, absorbed by the contract's 8dp
+    # rounding exactly as the Spark-vs-DuckDB orders already are.
+    if n <= 5_000_000 and edges.count() <= 30_000_000:
+        weighted = edges.join(out_deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+        )
+        dangling_nodes = nodes.join(
+            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+        )
+        out = _pagerank_driver_full(
+            spark, weighted, nodes, dangling_nodes, n, alpha, base,
+            tol, max_iter,
+        )
+        edges.unpersist()
+        return out
+
     # edge contribution weights, repartitioned once and reused
     weighted = (
         edges.join(out_deg, "src")
@@ -62,9 +90,6 @@ def pagerank(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).cache()
     dangling_nodes.count()
-
-    base = (1.0 - alpha) / n
-    spark = edges.sparkSession
 
     # rank/contrib relations are O(nodes) — for graphs whose node set
     # fits the driver (≤ ~5M, the same bound that makes the broadcast
@@ -135,6 +160,49 @@ def pagerank(
             # and saves the per-iteration convergence action
             ranks = new_ranks
     return ranks
+
+
+def _pagerank_driver_full(
+    spark,
+    weighted: DataFrame,
+    nodes: DataFrame,
+    dangling_nodes: DataFrame,
+    n: int,
+    alpha: float,
+    base: float,
+    tol: float,
+    max_iter: int,
+) -> DataFrame:
+    """PageRank with BOTH the rank vector and the edge list
+    driver-resident (edges ≤ ~30M).  One Arrow transfer of
+    (src, dst, w) up front; every iteration is a numpy gather +
+    bincount scatter-add — no per-iteration Spark jobs at all (the
+    broadcast-loop regime below keeps the edges distributed when they
+    don't fit)."""
+    import numpy as np
+    import pandas as pd
+
+    node_ids = np.sort(nodes.toPandas()["node"].to_numpy(dtype=np.int64))
+    e = weighted.toPandas()
+    src = np.searchsorted(node_ids, e["src"].to_numpy(dtype=np.int64))
+    dst = np.searchsorted(node_ids, e["dst"].to_numpy(dtype=np.int64))
+    w = e["w"].to_numpy(dtype=np.float64)
+    dang_idx = np.searchsorted(
+        node_ids,
+        np.sort(dangling_nodes.toPandas()["node"].to_numpy(dtype=np.int64)),
+    )
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(max_iter):
+        in_sum = np.bincount(dst, weights=w * ranks[src], minlength=n)
+        dm = float(np.sum(ranks[dang_idx])) if len(dang_idx) else 0.0
+        new_ranks = base + alpha * (in_sum + dm / float(n))
+        delta = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        if tol > 0 and delta < n * tol:
+            break
+    return spark.createDataFrame(
+        pd.DataFrame({"node": node_ids, "rank": ranks})
+    )
 
 
 def _pagerank_driver_ranks(

@@ -251,19 +251,33 @@ def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     md5-derived 60-bit ints over every k-char window (winnowing with
     window = whole doc).  Exactly mirrorable in SQL.
 
-    The grouping key is the row itself, so the min folds INSIDE the
-    row (array_min over a transform) — one narrow whole-stage-codegen
-    pass, ZERO shuffle and no |text|-per-doc row explosion (the r2
-    explode+groupBy shape shuffled ~|corpus chars| rows; at 10^12 docs
-    that shuffle IS the job)."""
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"array_min(transform("
-            f"sequence(1, greatest(length(text) - {k - 1}, 1)),"
-            f" i -> cast(conv(substring(md5(substring(text, i, {k})),"
-            f" 1, 15), 16, 10) as bigint)))"
-        ).alias("fp"),
+    Shape (r9): explode the window-start sequence, md5+fold in the
+    projection, then ONE partial-aggregated groupBy(doc_id) min.  The
+    md5/conv math runs inside whole-stage codegen; the old in-row
+    ``array_min(transform(...))`` evaluated the lambda body
+    INTERPRETED once per character position (CLAUDE.md HOF rule —
+    single-consumer kept it correct but still interpreted; measured
+    25.7 s → ~7 s at sf1.0).  The explode does NOT shuffle |chars|
+    rows: hash partial aggregation combines map-side, so the exchange
+    carries ~one row per doc per map partition."""
+    return (
+        docs.select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(sequence(1, greatest(length(text) - {k - 1}, 1)))"
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"cast(conv(substring(md5(substring(text, i, {k})),"
+                " 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp"))
     )
 
 
