@@ -301,13 +301,36 @@ def ngram_jaccard_pairs(
             )
     sh = shingles_df if shingles_df is not None else shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # EXACT integer dictionary for the self-join key (r9): the
+    # collision-prone shingle strings are replaced by dense ids from a
+    # row_number over the DISTINCT gram vocabulary — bounded by the
+    # max_docs guard above, so the single-partition window is the same
+    # documented exception as length_quantiles' histogram.  The join
+    # then compares 4-byte ints instead of ~30-char strings across the
+    # |collisions|-sized join output (identical pairs: the id map is a
+    # bijection, no hashing).
+    from pyspark.sql import Window
+
+    sid = sh.select("shingle").distinct().withColumn(
+        "sid", F.row_number().over(Window.orderBy("shingle"))
+    )
+    shi = sh.join(F.broadcast(sid), "shingle").join(
+        sizes, "doc_id"
+    ).select("doc_id", "sid", "n_sh")
+    # size-compatibility prune (exact, recall 1): jaccard(a,b) ≤
+    # min(na,nb)/max(na,nb), so j ≥ t requires t·max ≤ min — drop
+    # incompatible pairs INSIDE the join, before the pair aggregation
+    # (the 1e-9 slack makes float rounding err on the keep side).
+    t = float(threshold)
+    a = shi.alias("a")
+    b = shi.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh") - F.lit(1e-9))
+            & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh") - F.lit(1e-9)),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
