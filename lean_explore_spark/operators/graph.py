@@ -36,7 +36,29 @@ def pagerank(
     Nodes = all endpoint ids; duplicate edges collapse (the reference
     builds a simple DiGraph: repeated dependency rows are one edge).
     """
-    edges = edges.select("src", "dst").distinct().cache()
+    spark = edges.sparkSession
+    raw = edges.select("src", "dst")
+
+    # FULL-driver regime (r9): when the DISTINCT edge list itself fits
+    # the driver (≤ ~30M rows ≈ hundreds of MB via Arrow), ONE shuffle
+    # (the distinct) + ONE Arrow transfer replace everything — node
+    # set, out-degrees, dangling set and every iteration are numpy
+    # (np.unique / bincount / gather).  The per-iteration regime below
+    # still pays one broadcast build + one shuffled aggregation + one
+    # toPandas PER ITERATION (12 Spark jobs for the contract query;
+    # measured ~26 s at sf1.0 where the edge transfer is ~2 s).  Same
+    # float64 formula; summation-order differences vs groupBy(dst).sum
+    # are absorbed by the contract's 8dp rounding exactly as the
+    # Spark-vs-DuckDB orders already are.
+    m = raw.count()  # RAW count (≥ distinct): a cheap, conservative gate
+    if m == 0:
+        return raw.select(
+            F.col("src").alias("node"), F.lit(0.0).alias("rank")
+        )
+    if m <= 30_000_000:
+        return _pagerank_driver_full(spark, raw, alpha, tol, max_iter)
+
+    edges = raw.distinct().cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -44,37 +66,8 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = (1.0 - alpha) / n
-    spark = edges.sparkSession
-
-    # FULL-driver regime (r9): when the DISTINCT edge list itself fits
-    # the driver (≤ ~30M rows ≈ hundreds of MB via Arrow), collect
-    # (src, dst, w) ONCE and run every iteration as a numpy
-    # gather+bincount — the per-iteration regime below still pays one
-    # broadcast build + one shuffled aggregation + one toPandas PER
-    # ITERATION (12 Spark jobs for the contract query; measured ~26 s
-    # at sf1.0 where the whole edge transfer is ~2 s).  Spark still
-    # does the O(edges) distinct/degree work; only the iteration loop
-    # moves.  Same float64 formula; groupBy(dst).sum and bincount
-    # differ only in summation order, absorbed by the contract's 8dp
-    # rounding exactly as the Spark-vs-DuckDB orders already are.
-    if n <= 5_000_000 and edges.count() <= 30_000_000:
-        weighted = edges.join(out_deg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-        )
-        dangling_nodes = nodes.join(
-            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
-        )
-        out = _pagerank_driver_full(
-            spark, weighted, nodes, dangling_nodes, n, alpha, base,
-            tol, max_iter,
-        )
-        edges.unpersist()
-        return out
 
     # edge contribution weights, repartitioned once and reused
     weighted = (
@@ -164,33 +157,39 @@ def pagerank(
 
 def _pagerank_driver_full(
     spark,
-    weighted: DataFrame,
-    nodes: DataFrame,
-    dangling_nodes: DataFrame,
-    n: int,
+    edges: DataFrame,
     alpha: float,
-    base: float,
     tol: float,
     max_iter: int,
 ) -> DataFrame:
     """PageRank with BOTH the rank vector and the edge list
-    driver-resident (edges ≤ ~30M).  One Arrow transfer of
-    (src, dst, w) up front; every iteration is a numpy gather +
-    bincount scatter-add — no per-iteration Spark jobs at all (the
-    broadcast-loop regime below keeps the edges distributed when they
-    don't fit)."""
+    driver-resident (distinct edges ≤ ~30M).  One Arrow transfer of
+    (src, dst) up front; the node set, out-degrees, edge weights and
+    dangling set come from np.unique/bincount, and every iteration is
+    a numpy gather + bincount scatter-add — no per-iteration Spark
+    jobs at all (the regimes below keep the edges distributed when
+    they don't fit)."""
     import numpy as np
     import pandas as pd
 
-    node_ids = np.sort(nodes.toPandas()["node"].to_numpy(dtype=np.int64))
-    e = weighted.toPandas()
-    src = np.searchsorted(node_ids, e["src"].to_numpy(dtype=np.int64))
-    dst = np.searchsorted(node_ids, e["dst"].to_numpy(dtype=np.int64))
-    w = e["w"].to_numpy(dtype=np.float64)
-    dang_idx = np.searchsorted(
-        node_ids,
-        np.sort(dangling_nodes.toPandas()["node"].to_numpy(dtype=np.int64)),
-    )
+    e = edges.toPandas()
+    s_raw = e["src"].to_numpy(dtype=np.int64)
+    d_raw = e["dst"].to_numpy(dtype=np.int64)
+    # duplicate edges collapse (reference: simple DiGraph) — numpy
+    # lexsort+mask instead of a Spark distinct shuffle
+    order = np.lexsort((d_raw, s_raw))
+    s_raw, d_raw = s_raw[order], d_raw[order]
+    keep = np.r_[True,
+                 (s_raw[1:] != s_raw[:-1]) | (d_raw[1:] != d_raw[:-1])]
+    s_raw, d_raw = s_raw[keep], d_raw[keep]
+    node_ids, inv = np.unique(np.concatenate([s_raw, d_raw]),
+                              return_inverse=True)
+    src, dst = inv[: len(s_raw)], inv[len(s_raw):]
+    n = len(node_ids)
+    base = (1.0 - alpha) / n
+    deg = np.bincount(src, minlength=n)
+    w = 1.0 / deg[src]
+    dang_idx = np.flatnonzero(deg == 0)
     ranks = np.full(n, 1.0 / n, dtype=np.float64)
     for _ in range(max_iter):
         in_sum = np.bincount(dst, weights=w * ranks[src], minlength=n)
