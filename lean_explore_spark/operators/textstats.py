@@ -405,107 +405,87 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     identically; the most-frequent gram tie-breaks deterministically by
     (count, gram length, gram text) descending.
 
-    Scale shape: every key in the chain starts with doc_id, so ONE
-    up-front repartition of the raw documents (shuffle volume = corpus
-    text, the minimum possible) makes all three aggregation levels
-    partition-local — gram TEXT (≈18× token volume across the four n)
-    never shuffles.  The n-gram relations assemble in-row (transform
-    consumed once by the explode) and union into one exploded stream;
-    the per-doc metric needs no cross-document state, so this
-    pipelines at any corpus size."""
-    ns = (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
-    # EXPLICIT partition count: repartition("doc_id") alone lets AQE
-    # coalesce by the (tiny) raw-doc byte size — measured 1 partition
-    # at sf0.1, which serialized the 1M-row gram explode downstream of
-    # the exchange onto one core (10 s vs 2 s).  The stage is
-    # CPU-bound on exploded rows, not input bytes, so size it to the
-    # cluster's cores; explicit counts are not AQE-coalesced.
+    Shape (r9): every signal is doc-local, so the gram explosion never
+    needs to exist as ROWS at all — one Arrow batch kernel counts the
+    {2,3,5,8}-gram occurrences per document with a dict and returns six
+    INTEGER aggregates (guide §4.2: hand whole batches to native/
+    vectorized code instead of ~18× token volume of interpreted HOF
+    gram assembly + two aggregation exchanges — measured 5.2 s → ~1 s
+    at sf1.0).  The char fractions (the only floats) divide and round
+    in Spark, so boundary rounding matches the previous all-JVM shape
+    bit-for-bit.  Tokenization inside the kernel is ``re.ASCII \w+``
+    over ``str.lower`` — exactly the JVM ``\w+``/lower semantics on
+    this ASCII corpus (CLAUDE.md tokenizer rule; JVM ``\w`` is
+    ASCII-only too, so the classes coincide).  One explicit-count
+    repartition up front keeps the kernel parallel on single-split
+    bench inputs (no-op cost at scale)."""
     sc = docs.sparkSession.sparkContext
     docs = docs.repartition(sc.defaultParallelism, "doc_id")
 
-    def gram_arr(n: int) -> str:
-        # array_join(slice(...)) = 2 interpreted nodes per gram vs the
-        # n+2 of a concat_ws(element_at...) chain — the lambda body is
-        # interpreted (HOF), so node count is the constant that matters
-        # (measured 4.6× cold / parity warm at sf0.1)
-        return (
-            f"CASE WHEN size(_toks) >= {n} THEN "
-            f"transform(sequence(1, size(_toks) - {n - 1}),"
-            f" j -> struct({n} AS n,"
-            f" array_join(slice(_toks, j, {n}), ' ') AS gram)) "
-            "ELSE array() END"
-        )
+    top_ns, dup_ns = GOPHER_TOP_NS, GOPHER_DUP_NS
+    ns = (*top_ns, *dup_ns)
 
-    base = docs.select(
-        "doc_id",
-        F.expr(SQL_TOKENS).alias("_toks"),
-    ).select(
-        "doc_id",
-        F.length(F.concat_ws(" ", F.col("_toks"))).cast("long").alias(
-            "denom"
-        ),
-        F.explode_outer(
-            F.concat(*[F.expr(gram_arr(n)) for n in ns])
-        ).alias("g"),
-    )
-    cnt = (
-        base.groupBy(
-            "doc_id", "denom", F.col("g.n").alias("n"),
-            F.col("g.gram").alias("gram")
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    # argmax by (count DESC, gram length DESC) packs losslessly into
-    # ONE integer max — c*2^24 + len — because the text tie-break
-    # (needed only for a deterministic WINNER) cannot change the
-    # reported c*len when (c, len) tie; this keeps the aggregate in
-    # whole-stage codegen with no gram strings in agg buffers and no
-    # interpreted struct comparisons
-    per_n = (
-        cnt.groupBy("doc_id", "denom", "n")
-        .agg(
-            F.max(
-                F.col("c") * F.lit(1 << 24).cast("long")
-                + F.length("gram")
-            ).alias("tv"),
-            F.sum(
-                F.when(
-                    F.col("c") >= 2, F.col("c") * F.length("gram")
-                ).otherwise(F.lit(0))
-            ).cast("long").alias("dup_chars"),
-        )
-        .select(
-            "doc_id", "denom", "n",
-            F.expr(
-                "shiftright(tv, 24) * (tv & 16777215)"
-            ).alias("top_chars"),
-            "dup_chars",
-        )
-    )
+    def kernel(it):
+        import re as _re
 
-    def frac(x):
+        import pandas as _pd
+
+        pat = _re.compile(r"\w+", _re.ASCII)
+        for pdf in it:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "denom": [],
+            }
+            cols = {n: [] for n in ns}
+            for text in pdf["text"]:
+                toks = pat.findall((text or "").lower())
+                k = len(toks)
+                # prefix char sums: gram chars = Σ token lens + (n−1)
+                ps = [0] * (k + 1)
+                for i, t in enumerate(toks):
+                    ps[i + 1] = ps[i] + len(t)
+                out["denom"].append(ps[k] + max(k - 1, 0))
+                for n in ns:
+                    if k < n:
+                        cols[n].append(0)
+                        continue
+                    cnt: dict = {}
+                    for j in range(k - n + 1):
+                        g = tuple(toks[j : j + n])
+                        cnt[g] = cnt.get(g, 0) + 1
+                    if n in top_ns:
+                        bc = bl = -1
+                        for (g, c) in cnt.items():
+                            l = sum(map(len, g)) + n - 1
+                            if c > bc or (c == bc and l > bl):
+                                bc, bl = c, l
+                        cols[n].append(bc * bl)
+                    else:
+                        dup = 0
+                        for (g, c) in cnt.items():
+                            if c >= 2:
+                                dup += c * (sum(map(len, g)) + n - 1)
+                        cols[n].append(dup)
+            for n in ns:
+                out[f"x{n}"] = _pd.Series(cols[n], dtype="int64")
+            out["denom"] = _pd.Series(out["denom"], dtype="int64")
+            yield _pd.DataFrame(out)
+
+    schema = "doc_id long, denom long, " + ", ".join(
+        f"x{n} long" for n in ns
+    )
+    raw = docs.select("doc_id", "text").mapInPandas(kernel, schema)
+
+    def frac(col):
         return F.when(
-            F.col("denom") > 0, F.round(x / F.col("denom"), 6)
+            F.col("denom") > 0, F.round(F.col(col) / F.col("denom"), 6)
         ).otherwise(F.lit(0.0))
 
-    agg = [
-        frac(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col("top_chars"))),
-                F.lit(0),
-            )
-        ).alias(f"top{n}_char_frac")
-        for n in GOPHER_TOP_NS
-    ] + [
-        frac(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col("dup_chars"))),
-                F.lit(0),
-            )
-        ).alias(f"dup{n}_char_frac")
-        for n in GOPHER_DUP_NS
-    ]
-    return per_n.groupBy("doc_id", "denom").agg(*agg).drop("denom")
+    return raw.select(
+        "doc_id",
+        *[frac(f"x{n}").alias(f"top{n}_char_frac") for n in top_ns],
+        *[frac(f"x{n}").alias(f"dup{n}_char_frac") for n in dup_ns],
+    )
 
 
 # C4 page-level rule constants (Raffel et al. 2020 §2.2), shared with
