@@ -542,15 +542,47 @@ def q_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lean_explore_spark.operators import textstats as TT
 
     d = _docs(spark, sf_dir)
-    enc = d.select(
-        "doc_id",
-        F.size(F.expr(TT.SQL_TOKENS)).cast("long").alias("n_tokens"),
-        F.expr(
-            f"transform({TT.SQL_TOKENS}, w -> "
-            "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
-        ).alias("token_ids"),
+
+    # Arrow batch encoder (r9, guide §4.2): the old in-row
+    # transform(...conv(md5...)) evaluated its lambda INTERPRETED per
+    # token; hashlib.md5 + int(hex, 16) produce the identical 60-bit
+    # folds (same algorithm, same hex prefix) on whole batches.
+    def _encode(it):
+        import hashlib as _hl
+        import re as _re
+
+        import pandas as _pd
+
+        pat = _re.compile(r"\w+", _re.ASCII)
+        for pdf in it:
+            ids, counts, tid = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = pat.findall((text or "").lower())
+                ids.append(doc_id)
+                counts.append(len(toks))
+                tid.append(
+                    [
+                        int(_hl.md5(w.encode()).hexdigest()[:15], 16)
+                        for w in toks
+                    ]
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "n_tokens": _pd.Series(counts, dtype="int64"),
+                    "token_ids": tid,
+                }
+            )
+
+    enc = d.select("doc_id", "text").mapInPandas(
+        _encode, "doc_id long, n_tokens long, token_ids array<long>"
     )
-    packed = TT.pack_token_ids(enc, budget=64)
+    # JVM-side sizing relation: the position-assignment pass needs only
+    # (doc_id, n_tokens) — a regexp size, no md5 kernel run
+    sized = d.select(
+        "doc_id", F.size(F.expr(TT.SQL_TOKENS)).cast("long").alias("n_tokens")
+    )
+    packed = TT.pack_token_ids(enc, budget=64, sized_df=sized)
     ex = packed.select(
         "seq_id", "n_tokens",
         F.posexplode("token_ids").alias("pis", "hid"),
@@ -587,7 +619,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pyspark.sql.functions as F
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _fan_out(spark.read.parquet(f"{sf_dir}/customer.parquet"))
     k = F.col("c_custkey").cast("long")
     email = F.concat(
         F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", ".")),

@@ -30,8 +30,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from functools import lru_cache
+
 from lean_explore_spark.functions.porter import porter_stem
 from lean_explore_spark.functions.tokenizer import _WORD_RE
+
+# porter_stem is pure; token frequency follows Zipf, so a bounded memo
+# turns the per-OCCURRENCE stemming cost into a per-DISTINCT-term one
+# (r9: the staging analyze pass was the index build's largest stage).
+# lru_cache keeps worker memory bounded at web-scale vocabularies.
+_stem_cached = lru_cache(maxsize=1 << 20)(porter_stem)
 
 
 def _tf_of(text: str, stem: bool) -> dict:
@@ -40,7 +48,7 @@ def _tf_of(text: str, stem: bool) -> dict:
         return freqs
     if stem:
         for tok in _WORD_RE.findall(text.lower()):
-            t = porter_stem(tok)
+            t = _stem_cached(tok)
             freqs[t] = freqs.get(t, 0) + 1
     else:
         for tok in _WORD_RE.findall(text.lower()):

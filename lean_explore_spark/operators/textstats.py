@@ -745,7 +745,8 @@ def pack_sequences(
 
 
 def pack_token_ids(
-    encoded: DataFrame, budget: int = 4096, order_col: str = "doc_id"
+    encoded: DataFrame, budget: int = 4096, order_col: str = "doc_id",
+    sized_df: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences themselves (r8,
     VERDICT r7 #4): ``encoded`` is (order_col, n_tokens-like count,
@@ -766,9 +767,21 @@ def pack_token_ids(
     ordered by each piece's in-sequence offset (array_sort on a
     struct — consumed once, the HOF single-consumer rule)."""
     cnt = encoded.columns[1]
-    sized = encoded.select(
-        F.col(order_col).alias("doc_id"),
-        F.col(cnt).cast("long").alias("n_tokens"),
+    # ``sized_df`` (order_col, count) sidesteps evaluating ``encoded``
+    # for the position-assignment pass when the encoder is an OPAQUE
+    # Python map (column pruning cannot reach inside it, so the
+    # two-column projection would otherwise run the full tokenizer+
+    # hash kernel a second time; r9).
+    sized = (
+        sized_df.select(
+            F.col(order_col).alias("doc_id"),
+            F.col(sized_df.columns[1]).cast("long").alias("n_tokens"),
+        )
+        if sized_df is not None
+        else encoded.select(
+            F.col(order_col).alias("doc_id"),
+            F.col(cnt).cast("long").alias("n_tokens"),
+        )
     )
     pos = pack_sequences(sized, budget=budget, sized=sized)
     placed = (
