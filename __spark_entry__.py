@@ -490,6 +490,11 @@ def q_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # the synthesized batch is consumed by the band-key subtree, the
+    # final anti-join AND the output projection — persist the narrow
+    # union once (r9; the reversed-token branch re-ran its regexp per
+    # consumer otherwise)
+    new = new.persist()
     # the old corpus IS the shared docs relation: reuse the cached
     # shingle + wide-signature relations instead of re-deriving both
     # LSH stacks from text (r9; the at-scale analog is the stored
