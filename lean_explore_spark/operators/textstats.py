@@ -394,7 +394,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
 
 
 def gopher_repetition(docs: DataFrame) -> DataFrame:
-    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    r"""Gopher-style repetition signals (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", table A1): per document, the
     character fraction covered by the single most frequent word
     {2,3}-gram (``top{n}_char_frac``) and the character fraction inside
