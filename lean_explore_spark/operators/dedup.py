@@ -763,42 +763,67 @@ def simhash_hamming_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            F.expr("cast(bit_count(sa ^ sb) as bigint)").alias("hamming"),
+            # filter BEFORE the dedup exchange (r9): the hamming test
+            # is a per-row codegen expression, and (sa, sb) are
+            # functionally determined by the doc ids, so
+            # filter-then-distinct ≡ distinct-then-filter — but the
+            # distinct now shuffles only the surviving pairs, not
+            # every band collision
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    return cand
 
 
 def _positioned_grams(docs: DataFrame, l: int) -> DataFrame:
     """(doc_id, pos, gram_h): every OVERLAPPING word ``l``-gram with
-    its 1-based start token position.  Gram assembly folds inside the
-    row (one transform over the token array, consumed ONCE by the
-    posexplode — the single-consumer HOF case that stays cheap); the
-    gram string is immediately collapsed to the md5-derived 60-bit int
-    so only 8-byte keys ever shuffle, never gram text."""
-    arr = (
-        f"CASE WHEN size(_toks) >= {l} THEN "
-        f"transform(sequence(1, size(_toks) - {l - 1}),"
-        f" j -> array_join(slice(_toks, j, {l}), ' '))"
-        " ELSE array() END"
-    )
-    return (
-        docs.select("doc_id", F.expr(SQL_TOKENS).alias("_toks"))
-        .select("doc_id", F.posexplode(F.expr(arr)).alias("pos0", "gram"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).cast("long").alias("pos"),
-            _shingle_int("gram").alias("gram_h"),
-        )
+    its 1-based start token position, the gram already collapsed to
+    the md5-derived 60-bit int so only 8-byte keys ever shuffle,
+    never gram text.
+
+    Shape (r9): one Arrow batch kernel — tokenize, slide the window,
+    md5-fold (hashlib md5 == the JVM md5; identical 15-hex prefix
+    folds) in Python per partition instead of an interpreted
+    gram-assembly lambda + per-gram JVM md5 (guide §4.2; same ASCII
+    tokenizer-parity argument as :func:`shingles`).  Conditional
+    fan-out keeps single-split bench inputs parallel (no-op at
+    scale)."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    ll = int(l)
+
+    def kern(it):
+        import hashlib as _hl
+        import re as _re
+
+        import pandas as _pd
+
+        pat = _re.compile(r"\w+", _re.ASCII)
+        for pdf in it:
+            ids: list = []
+            poss: list = []
+            hs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = pat.findall((text or "").lower())
+                for j in range(len(toks) - ll + 1):
+                    g = " ".join(toks[j : j + ll])
+                    ids.append(doc_id)
+                    poss.append(j + 1)
+                    hs.append(int(_hl.md5(g.encode()).hexdigest()[:15], 16))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "pos": _pd.Series(poss, dtype="int64"),
+                    "gram_h": _pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kern, "doc_id long, pos long, gram_h long"
     )
 
 
@@ -825,7 +850,9 @@ def dup_span_runs(
     identical downstream algebra."""
     from pyspark.sql import Window
 
-    grams = _positioned_grams(docs, l)
+    # grams feed BOTH the frequency aggregate and the hot-gram join —
+    # persist so the opaque gram kernel runs once, not per consumer
+    grams = _positioned_grams(docs, l).persist()
     hot = (
         grams.groupBy("gram_h")
         .agg(F.count("*").alias("c"))
