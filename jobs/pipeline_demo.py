@@ -153,6 +153,13 @@ def run_pipeline(
             "(tokenization is a downstream job over materialized "
             "data); pass shards_out too"
         )
+    # r9 hygiene: operators may persist internal relations consumed by
+    # more than one of their own subtrees (dup_span_runs' gram
+    # relation).  Snapshot the persistent-RDD set now and release the
+    # diff before returning — the same snapshot-diff discipline as
+    # dup_clusters (single-threaded-driver assumption documented on
+    # _persistent_rdd_ids).
+    _rdds_before = D._persistent_rdd_ids(spark.sparkContext)
 
     def observed(df, name):
         return df.observe(obs[name], F.count(F.lit(1)).alias("n"))
@@ -497,6 +504,11 @@ def run_pipeline(
         stage3.unpersist()
     else:
         stage2.unpersist()  # = cached when span_cut is off (r5 hygiene)
+    # release operator-internal persists (r9 hygiene; see snapshot above)
+    D._unpersist_rdds(
+        spark.sparkContext,
+        D._persistent_rdd_ids(spark.sparkContext) - _rdds_before,
+    )
     return {
         "counts": counts,
         "index": {
