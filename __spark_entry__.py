@@ -106,14 +106,35 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+_DOCS_CACHE: dict = {}
+_EMB_CACHE: dict = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_py_files(spark)  # executors need the package on sys.path
-    return _fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """Corpus relation, fanned out and cached per (session, sf_dir):
+    ~30 contract queries consume it, and without the cache each one
+    re-pays the conditional fan-out EXCHANGE (~0.2-0.5 s of pure
+    overhead per light query at bench scale — measured across the
+    r9 sf0.1 runs).  First consumer materializes inside its timed
+    window (the _analyzed/_shingles precedent); storage is the
+    corpus text, MEMORY_AND_DISK and evictable."""
+    key = (id(spark), sf_dir)
+    if key not in _DOCS_CACHE:
+        ensure_py_files(spark)  # executors need the package on sys.path
+        _DOCS_CACHE[key] = _fan_out(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).cache()
+    return _DOCS_CACHE[key]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_py_files(spark)
-    return _fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    key = (id(spark), sf_dir)
+    if key not in _EMB_CACHE:
+        ensure_py_files(spark)
+        _EMB_CACHE[key] = _fan_out(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ).cache()
+    return _EMB_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
