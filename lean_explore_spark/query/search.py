@@ -118,6 +118,12 @@ class SearchEngine:
             OrderedDict()
         )
         self._dl_cache_bound = dl_cache_shards or self.DL_CACHE_SHARDS
+        import threading
+
+        # serializes fork-pool creation: the engine is served from a
+        # ThreadingHTTPServer, where two hot queries could otherwise
+        # race the lazy create (ADVICE r8, medium)
+        self._fork_pool_lock = threading.Lock()
         self._dict_cache: Optional[Dict[str, int]] = None
         self._postings_cache: Optional[Dict[str, list]] = None
         self._shard_list: Optional[List[int]] = None
@@ -341,29 +347,43 @@ class SearchEngine:
         required (post-fork loads would not be visible to children)."""
         from concurrent.futures import ProcessPoolExecutor
         import multiprocessing as mp
+        import os
 
-        if self._fork_pool is not None and self._fork_pool_size >= n:
+        # fast path without the lock: once built, the pool is never
+        # resized or replaced (see below), so a non-None read is final
+        if self._fork_pool is not None:
             return self._fork_pool
         if not self._preloaded:
             raise RuntimeError(
                 "search_tokens_parallel needs preload=True (the fork "
                 "pool snapshots the preloaded index at creation)"
             )
-        if self._fork_pool is not None:
-            self._fork_pool.shutdown(wait=False)
-        _FORK_ENGINES[id(self)] = self
-        self._fork_pool = ProcessPoolExecutor(
-            max_workers=n, mp_context=mp.get_context("fork")
-        )
-        self._fork_pool_size = n
+        with self._fork_pool_lock:
+            if self._fork_pool is not None:  # lost the create race
+                return self._fork_pool
+            # FIXED size, created ONCE (ADVICE r8, medium): the old
+            # per-query resize called shutdown(wait=False) on a pool a
+            # concurrent request might be submitting to ("cannot
+            # schedule new futures after shutdown" → 500s).  Extra
+            # workers beyond a query's shard fan-out are idle forks
+            # sharing the preloaded index copy-on-write — cheap —
+            # and map() only ever submits len(shards) tasks.
+            size = max(int(n), min(32, os.cpu_count() or 4))
+            _FORK_ENGINES[id(self)] = self
+            pool = ProcessPoolExecutor(
+                max_workers=size, mp_context=mp.get_context("fork")
+            )
+            self._fork_pool_size = size
+            self._fork_pool = pool  # publish last
         return self._fork_pool
 
     def close_pool(self) -> None:
-        if self._fork_pool is not None:
-            self._fork_pool.shutdown(wait=False)
-            self._fork_pool = None
-            self._fork_pool_size = 0
-        _FORK_ENGINES.pop(id(self), None)
+        with self._fork_pool_lock:
+            if self._fork_pool is not None:
+                self._fork_pool.shutdown(wait=False)
+                self._fork_pool = None
+                self._fork_pool_size = 0
+            _FORK_ENGINES.pop(id(self), None)
 
     def search_tokens_parallel(
         self,

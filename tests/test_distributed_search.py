@@ -172,6 +172,30 @@ def test_parallel_requires_preload_and_pool_reuse(spark, engine, tmp_path_factor
         engine.search_tokens(tokens, 10)
 
 
+def test_parallel_is_thread_safe_under_concurrent_queries(engine):
+    """ADVICE r8 (medium): the engine is served from a threaded HTTP
+    server, where two hot queries used to race the lazy pool create /
+    per-query resize (shutdown(wait=False) on a pool another request
+    was submitting to → 'cannot schedule new futures after shutdown').
+    The pool is now created ONCE at a fixed size under a lock; hammer
+    it from several threads and pin bit-identity with the sequential
+    kernel."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine.close_pool()  # start cold so the create itself races
+    jobs = [(q, tokenize_stem(q)) for q in QUERIES * 3]
+    want = {q: engine.search_tokens(t, 20) for q, t in jobs}
+
+    def hot(args):
+        q, toks = args
+        return q, engine.search_tokens_parallel(toks, 20, threads=4)
+
+    with ThreadPoolExecutor(max_workers=6) as tp:
+        for q, got in tp.map(hot, jobs):
+            assert got == want[q], q
+    engine.close_pool()
+
+
 def test_fork_pools_of_two_engines_stay_isolated(spark, tmp_path_factory):
     """Regression (r8): the fork-worker registry is keyed per engine —
     with a single global, a worker forked AFTER a second engine's
