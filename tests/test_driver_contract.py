@@ -86,6 +86,40 @@ KNOWN_RED: set[tuple[str, str]] = {("CORRECTNESS_r08.json", "packed_ids")}
 ROWS_ONLY: set[str] = {"bpe_tokens"}
 
 
+def test_no_unmirrored_hugeint_oracle_columns(spark, duck):
+    """Oracle-typing tripwire (VERDICT r8 #2): DuckDB types window
+    cumsums and big integer arithmetic HUGEINT, and ``fetchdf()``
+    hands the DRIVER float64 for those columns while Spark hands
+    int64 — the hashes differ even when every value matches (the r8
+    ``packed_ids`` red row).  The oracle SQL text is frozen, so the
+    invariant is dtype PARITY: for every HUGEINT/UHUGEINT column an
+    oracle exports, the Spark query must export float64 (double) for
+    the same column.  Cheap: DESCRIBE plans the query, no execution."""
+    offenders = {}
+    for name, sql in E.oracle_sql().items():
+        cols = duck.execute(f"DESCRIBE {sql}").fetchall()
+        huge = [c for c, t, *_ in cols if t in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            offenders[name] = huge
+    # today exactly one frozen oracle exports a HUGEINT column
+    assert set(offenders) <= {"packed_ids"}, (
+        f"new HUGEINT-typed oracle columns {offenders} — cast them "
+        "to BIGINT in the oracle (pack_sequences pattern) while the "
+        "SQL is still unfrozen, or export double on the Spark side"
+    )
+    for name, huge in offenders.items():
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in E.queries()[name](spark, SF_ORACLE).schema.fields
+        }
+        for col in huge:
+            assert schema.get(col) == "double", (
+                f"{name}.{col} is HUGEINT in the oracle (float64 via "
+                f"fetchdf) but {schema.get(col)} on the Spark side — "
+                "the driver's hash will split on the dtype"
+            )
+
+
 def test_every_query_has_oracle():
     missing = set(E.queries()) - set(E.oracle_sql()) - ROWS_ONLY
     assert not missing, (
